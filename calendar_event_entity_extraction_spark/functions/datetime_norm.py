@@ -1,0 +1,115 @@
+"""Date / time / duration normalization as pure Column expressions.
+
+Reproduces the reference's conditional normalization semantics measured over
+its 792 raw annotations (SURVEY.md §1.2, ``augmentation/main.py:76-96``):
+
+* dates → ``DD/MM/YYYY`` with *dayfirst* tie-breaking, EXCEPT ISO
+  ``YYYY-MM-DD`` which passes through verbatim;
+* times → ``H:MM AM/PM`` with no leading zero, EXCEPT 24-h ``HH:MM``
+  which passes through verbatim (leading zero kept);
+* durations copied verbatim except ``"1 hr" → "1 hour"`` and
+  ``"45mins" → "45 mins"`` (space inserted).
+
+Everything is JVM-side (regexp + string builtins) so it stays inside
+whole-stage codegen — no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MONTHS_FULL = [
+    "January", "February", "March", "April", "May", "June",
+    "July", "August", "September", "October", "November", "December",
+]
+MONTHS_3 = [m[:3] for m in MONTHS_FULL]
+MONTH_ALT = "|".join(MONTHS_FULL)
+MON3_ALT = "|".join(MONTHS_3)
+
+# date surface forms (reference generator styles, faker_synth.py:50-77)
+ISO_RE = r"\b(\d{4}-\d{2}-\d{2})\b"
+SLASH_RE = r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b"
+MDY_RE = rf"\b({MONTH_ALT}) (\d{{1,2}}), (\d{{4}})"
+DMON_RE = rf"\b(\d{{1,2}})(?:st|nd|rd|th)? ({MON3_ALT})[a-z]* (\d{{4}})"
+DASH_RE = r"\b(\d{1,2})-(\d{1,2})-(\d{4})\b"
+
+# time surface forms (faker_synth.py:80-97)
+T_AMPM_RE = r"\b(\d{1,2}):([0-5]\d) ?([apAP][mM])\b"
+T_24_RE = r"\b([01]?\d|2[0-3]):[0-5]\d\b(?! ?[apAP][mM])"
+T_HAMPM_RE = r"\b(\d{1,2}) ?([apAP][mM])\b"
+
+DUR_RE = (
+    r"\b(?:for|lasting) "
+    r"((?:\d+(?:\.\d+)? ?|a few )(?:minutes|mins|minute|min|hours|hour|hrs|hr)\b)"
+)
+
+
+def _ne(c: Column) -> Column:
+    """Spark regexp_extract yields '' on no-match; convert to null."""
+    return F.nullif(c, F.lit(""))
+
+
+def _dmy(d: Column, m: Column, y: Column) -> Column:
+    # nulls propagate through concat, so an unmatched style yields null
+    return F.concat(F.lpad(d, 2, "0"), F.lit("/"), F.lpad(m, 2, "0"), F.lit("/"), y)
+
+
+def _month_num(mon3: Column) -> Column:
+    return F.array_position(F.array(*[F.lit(m) for m in MONTHS_3]), mon3).cast("string")
+
+
+def date_norm_col(text: Column) -> Column:
+    """First date mention → normalized gold form (null if none)."""
+    iso = _ne(F.regexp_extract(text, ISO_RE, 1))  # verbatim passthrough
+    slash = _dmy(
+        _ne(F.regexp_extract(text, SLASH_RE, 1)),
+        _ne(F.regexp_extract(text, SLASH_RE, 2)),
+        _ne(F.regexp_extract(text, SLASH_RE, 3)),
+    )
+    mdy = _dmy(
+        _ne(F.regexp_extract(text, MDY_RE, 2)),
+        _month_num(F.substring(_ne(F.regexp_extract(text, MDY_RE, 1)), 1, 3)),
+        _ne(F.regexp_extract(text, MDY_RE, 3)),
+    )
+    dmon = _dmy(
+        _ne(F.regexp_extract(text, DMON_RE, 1)),
+        _month_num(_ne(F.regexp_extract(text, DMON_RE, 2))),
+        _ne(F.regexp_extract(text, DMON_RE, 3)),
+    )
+    dash = _dmy(  # dayfirst: "5-4-2024" → 05/04/2024
+        _ne(F.regexp_extract(text, DASH_RE, 1)),
+        _ne(F.regexp_extract(text, DASH_RE, 2)),
+        _ne(F.regexp_extract(text, DASH_RE, 3)),
+    )
+    return F.coalesce(iso, slash, mdy, dmon, dash)
+
+
+def time_norm_col(text: Column) -> Column:
+    """First time mention → normalized gold form (null if none)."""
+    h1 = _ne(F.regexp_extract(text, T_AMPM_RE, 1))
+    t_ampm = F.concat(
+        h1.cast("int").cast("string"),  # lstrip leading zero
+        F.lit(":"),
+        F.regexp_extract(text, T_AMPM_RE, 2),
+        F.lit(" "),
+        F.upper(F.regexp_extract(text, T_AMPM_RE, 3)),
+    )
+    t_24 = _ne(F.regexp_extract(text, T_24_RE, 0))  # verbatim passthrough
+    h2 = _ne(F.regexp_extract(text, T_HAMPM_RE, 1))
+    t_h = F.concat(
+        h2.cast("int").cast("string"),
+        F.lit(":00 "),
+        F.upper(F.regexp_extract(text, T_HAMPM_RE, 2)),
+    )
+    noon = F.when(text.rlike(r"\bnoon\b"), F.lit("12:00 PM"))
+    midnight = F.when(text.rlike(r"\bmidnight\b"), F.lit("12:00 AM"))
+    return F.coalesce(t_ampm, t_24, t_h, noon, midnight)
+
+
+def duration_norm_col(text: Column) -> Column:
+    """Duration phrase after for/lasting, with the reference's two light
+    normalizations applied (everything else verbatim)."""
+    raw = _ne(F.regexp_extract(text, DUR_RE, 1))
+    spaced = F.regexp_replace(raw, r"(\d)(mins\b)", r"$1 $2")
+    return F.regexp_replace(spaced, r"\bhr\b", "hour")

@@ -1,0 +1,261 @@
+"""Deterministic calendar-request grammar.
+
+Single source of truth for the synthetic transcripts fixture. Every choice is
+a pure modular-arithmetic function of a single integer key ``k`` — no
+``random``, no ``datetime.now()`` — so the exact same rows are reproducible
+in three independent implementations that the test-suite pins together:
+
+1. :func:`event_spec` — the Python spec (used by the Spark generator).
+2. ``synth/oracle.py`` — a DuckDB-SQL renderer of the *gold fields only*
+   (the driver's correctness oracle computes gold directly from the key,
+   while the Spark side must recover it from the rendered text via the real
+   extractor — extractor correct ⇔ value-hashes match).
+3. ``tests/test_synth_oracle.py`` — cross-checks (1) against (2).
+
+Surface forms mirror the reference's generator grammar
+(``augmentation/faker_synth.py:50-97`` date/time styles,
+``:126-178`` duration/attendee/location/recurrence phrases) and the measured
+raw-annotation semantics in SURVEY.md §1.2: ISO dates and 24-h times pass
+through verbatim; other dates normalize to DD/MM/YYYY (dayfirst); times to
+``H:MM AM/PM`` with no leading zero; ``"1 hr"→"1 hour"``,
+``"45mins"→"45 mins"``; everything else is copied verbatim from the text.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+
+MONTHS_FULL = [
+    "January", "February", "March", "April", "May", "June",
+    "July", "August", "September", "October", "November", "December",
+]
+MONTHS_ABBR = [m[:3] for m in MONTHS_FULL]
+
+ACTIONS = [
+    "Team sync", "Project kickoff", "Budget review", "Design review",
+    "Sprint planning", "Client call", "Strategy meeting", "Interview",
+    "Demo session", "Standup", "Retrospective", "Quick meeting",
+]
+
+NAMES = [
+    "Alice", "Bob", "Carol", "David", "Emma", "Frank", "Grace", "Henry",
+    "Isla", "Jack", "Kara", "Liam", "Mia", "Noah", "Olivia", "Peter",
+    "Quinn", "Rosa", "Sam", "Tara",
+]
+
+LOC_PHYS = [
+    "conference room B", "the coworking space", "room 12",
+    "the downtown office", "Cafe Lumen", "the main lobby",
+    "building 7", "the rooftop terrace",
+]
+
+MEDIUMS = ["Zoom", "Google Meet", "Teams", "Skype", "Webex", "Slack huddle"]
+
+MED_PREPS = ["on", "via", "over"]
+PHYS_PREPS = ["at", "in"]
+
+# (text form, gold form) — gold differs only per the reference's light
+# normalization rules (SURVEY.md §1.2 duration row).
+DUR_PAIRS = [
+    ("45 minutes", "45 minutes"),
+    ("1 hour", "1 hour"),
+    ("1 hr", "1 hour"),
+    ("30 mins", "30 mins"),
+    ("45mins", "45 mins"),
+    ("2 hours", "2 hours"),
+    ("90 minutes", "90 minutes"),
+    ("1.5hrs", "1.5hrs"),
+]
+
+REC_KWS = [
+    "weekly", "monthly", "daily", "biweekly",
+    "quarterly", "annual", "Weekly", "Monthly",
+]
+
+NOTES = [
+    "bring the slides",
+    "agenda attached",
+    "budget figures needed",
+    "client will join late",
+]
+
+DISTRACTORS = [
+    "Sure, let me check my calendar.",
+    "Sounds good, I will confirm later.",
+    "Thanks for the update on the project.",
+    "Can you resend the document link?",
+    "The deployment finished without errors.",
+    "Let me know if anything changes.",
+]
+
+TIME_INTROS = [" at ", " starting at ", " "]
+DUR_VERBS = ["for", "lasting"]
+
+EPOCH = _dt.date(2024, 1, 1)
+TS_EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ord_suffix(d: int) -> str:
+    if 11 <= d % 100 <= 13:
+        return "th"
+    return {1: "st", 2: "nd", 3: "rd"}.get(d % 10, "th")
+
+
+@dataclass
+class EventSpec:
+    k: int
+    n_turns: int
+    req_turn: int
+    has_echo: bool
+    text: str
+    # gold fields (the 8-key schema; attendees is an ordered list or None)
+    action: str
+    date: str
+    time: str
+    attendees: list | None
+    location: str | None
+    duration: str | None
+    recurrence: str | None
+    notes: str | None
+
+
+def event_spec(k: int) -> EventSpec:
+    """The full deterministic spec for key ``k``: request text + gold."""
+    n_turns = 2 + (k % 5)
+    req_turn = k % n_turns
+
+    # ---- date
+    d0 = EPOCH + _dt.timedelta(days=(k * 37) % 730)
+    d, m, y = d0.day, d0.month, d0.year
+    s_date = k % 6
+    ddmmyyyy = f"{d:02d}/{m:02d}/{y}"
+    if s_date == 0:
+        date_text, gold_date = ddmmyyyy, ddmmyyyy
+    elif s_date == 1:  # ISO passthrough (reference keeps verbatim, §1.2)
+        date_text = f"{y}-{m:02d}-{d:02d}"
+        gold_date = date_text
+    elif s_date == 2:
+        date_text, gold_date = f"{MONTHS_FULL[m - 1]} {d}, {y}", ddmmyyyy
+    elif s_date == 3:
+        date_text = f"{d}{_ord_suffix(d)} {MONTHS_FULL[m - 1]} {y}"
+        gold_date = ddmmyyyy
+    elif s_date == 4:
+        date_text, gold_date = f"{d} {MONTHS_ABBR[m - 1]} {y}", ddmmyyyy
+    else:
+        date_text, gold_date = f"{d}-{m}-{y}", ddmmyyyy
+
+    # ---- time
+    s_time = k % 5
+    h24 = (k * 7 + 3) % 24
+    mm = 15 * ((k * 5) % 4)
+    if s_time in (1, 4):
+        mm = 0
+    if s_time == 4:
+        h24 = 12
+    h12 = ((h24 + 11) % 12) + 1
+    ap = "AM" if h24 < 12 else "PM"
+    if s_time == 0:
+        time_text = f"{h12}:{mm:02d} {ap.lower()}"
+        gold_time = f"{h12}:{mm:02d} {ap}"
+    elif s_time == 1:
+        time_text = f"{h12}{ap.lower()}"
+        gold_time = f"{h12}:00 {ap}"
+    elif s_time == 2:
+        time_text = f"{h12}:{mm:02d} {ap}"
+        gold_time = time_text
+    elif s_time == 3:  # 24-h passthrough (reference keeps verbatim, §1.2)
+        time_text = f"{h24:02d}:{mm:02d}"
+        gold_time = time_text
+    else:
+        time_text = "noon"
+        gold_time = "12:00 PM"
+
+    # ---- attendees (ordered, never [])
+    n_att = k % 4
+    names = [NAMES[(k * 13 + i * 7) % 20] for i in range(n_att)]
+    s_att = (k // 7) % 3
+    att_clause = ""
+    if n_att:
+        if s_att == 0:
+            if n_att == 1:
+                lst = names[0]
+            elif n_att == 2:
+                lst = f"{names[0]} and {names[1]}"
+            else:
+                lst = f"{names[0]}, {names[1]} and {names[2]}"
+            att_clause = f" with {lst}"
+        elif s_att == 1:
+            att_clause = " w/ " + " & ".join(names)
+        else:  # bare post-time list (reference: ~41 raw rows)
+            att_clause = " " + ", ".join(names)
+    gold_att = names or None
+
+    # ---- location
+    loc_clause, gold_loc = "", None
+    if k % 5 != 0:
+        if (k // 5) % 2 == 0:
+            med = MEDIUMS[(k // 10) % 6]
+            prep = MED_PREPS[(k // 3) % 3]
+            loc_clause, gold_loc = f" {prep} {med}", med
+        else:
+            loc = LOC_PHYS[(k // 10) % 8]
+            prep = PHYS_PREPS[(k // 2) % 2]
+            loc_clause, gold_loc = f" {prep} {loc}", loc
+
+    # ---- duration
+    dur_clause, gold_dur = "", None
+    if (k // 11) % 6 != 0:
+        dt_text, dt_gold = DUR_PAIRS[(k // 13) % 8]
+        verb = DUR_VERBS[(k // 6) % 2]
+        dur_clause, gold_dur = f" {verb} {dt_text}", dt_gold
+
+    # ---- recurrence (rare; keyword prefixed, casing preserved)
+    rec_prefix, gold_rec = "", None
+    if k % 25 == 0:
+        gold_rec = REC_KWS[(k // 25) % 8]
+        rec_prefix = gold_rec + " "
+
+    # ---- notes (rare)
+    note_clause, gold_note = ".", None
+    if k % 40 == 0:
+        gold_note = NOTES[(k // 40) % 4]
+        note_clause = f". Note: {gold_note}."
+
+    action = ACTIONS[(k // 6) % 12]
+    date_intro = " on " if (k // 9) % 2 == 0 else " "
+    time_intro = TIME_INTROS[(k // 21) % 3]
+
+    text = (
+        f"{rec_prefix}{action}{date_intro}{date_text}{time_intro}{time_text}"
+        f"{att_clause}{loc_clause}{dur_clause}{note_clause}"
+    )
+
+    # a confirmation echo of the same request later in the conversation —
+    # exercises window-based co-referent canonicalization
+    has_echo = (k % 50 == 0) and (req_turn + 1 < n_turns)
+
+    return EventSpec(
+        k=k, n_turns=n_turns, req_turn=req_turn, has_echo=has_echo, text=text,
+        action=action, date=gold_date, time=gold_time, attendees=gold_att,
+        location=gold_loc, duration=gold_dur, recurrence=gold_rec,
+        notes=gold_note,
+    )
+
+
+def turns_for_key(k: int):
+    """All transcript rows for conversation ``k``:
+    (conv_id, turn_idx, role, text, tool, ts)."""
+    spec = event_spec(k)
+    conv_id = f"conv-{k}"
+    rows = []
+    for j in range(spec.n_turns):
+        if j == spec.req_turn or (spec.has_echo and j == spec.req_turn + 1):
+            role, text, tool = "user", spec.text, None
+        else:
+            role = ("assistant", "user", "tool")[(k + j) % 3]
+            text = DISTRACTORS[(k + 7 * j) % 6]
+            tool = "calendar_api" if role == "tool" else None
+        ts = TS_EPOCH + _dt.timedelta(seconds=(k % 1_000_000) * 60 + j * 30)
+        rows.append((conv_id, j, role, text, tool, ts))
+    return rows
