@@ -1,0 +1,125 @@
+"""DuckDB-SQL renderer of the gold event fields.
+
+Mirrors :mod:`.grammar`'s modular-arithmetic formulas in plain ANSI-ish SQL
+(DuckDB dialect) over the driver's pre-registered ``orders`` view: for each
+``o_orderkey`` (= grammar key ``k``) it emits the *gold* 8 fields directly —
+no text involved. The Spark side of each correctness query instead renders
+the request text and runs the real extractor; the two agree iff the extractor
+inverts the grammar exactly. ``tests/test_synth_oracle.py`` pins this SQL to
+the Python spec.
+"""
+
+from __future__ import annotations
+
+from .grammar import (
+    ACTIONS,
+    DUR_PAIRS,
+    LOC_PHYS,
+    MEDIUMS,
+    NAMES,
+    NOTES,
+    REC_KWS,
+)
+
+
+def _lst(items) -> str:
+    return "[" + ", ".join("'" + i.replace("'", "''") + "'" for i in items) + "]"
+
+
+def _name(i: int) -> str:
+    return f"({_lst(NAMES)})[1 + CAST((k*13 + {i}*7) % 20 AS INT)]"
+
+
+GOLD_CTE = f"""
+WITH f AS (
+  SELECT o_orderkey AS k,
+         CAST(o_orderkey % (2 + (o_orderkey % 5)) AS INTEGER) AS req_turn,
+         DATE '2024-01-01' + CAST((o_orderkey*37) % 730 AS INT) AS d0
+  FROM orders
+), g AS (
+  SELECT k, req_turn,
+         day(d0) AS d, month(d0) AS m, year(d0) AS y,
+         k % 6 AS s_date, k % 5 AS s_time, k % 4 AS n_att,
+         CASE WHEN k % 5 = 4 THEN 12 ELSE (k*7+3) % 24 END AS h24,
+         CASE WHEN k % 5 IN (1,4) THEN 0 ELSE 15*((k*5)%4) END AS mm
+  FROM f
+), gold AS (
+  SELECT
+    k,
+    'conv-' || CAST(k AS VARCHAR) AS conv_id,
+    req_turn AS turn_idx,
+    ({_lst(ACTIONS)})[1 + CAST((k//6) % 12 AS INT)] AS action,
+    CASE WHEN s_date = 1
+      THEN CAST(y AS VARCHAR) || '-' || lpad(CAST(m AS VARCHAR),2,'0') || '-' || lpad(CAST(d AS VARCHAR),2,'0')
+      ELSE lpad(CAST(d AS VARCHAR),2,'0') || '/' || lpad(CAST(m AS VARCHAR),2,'0') || '/' || CAST(y AS VARCHAR)
+    END AS date,
+    CASE WHEN s_time = 3
+      THEN lpad(CAST(h24 AS VARCHAR),2,'0') || ':' || lpad(CAST(mm AS VARCHAR),2,'0')
+      ELSE CAST(((h24+11) % 12) + 1 AS VARCHAR) || ':' || lpad(CAST(mm AS VARCHAR),2,'0')
+           || ' ' || (CASE WHEN h24 < 12 THEN 'AM' ELSE 'PM' END)
+    END AS time,
+    CASE WHEN n_att = 0 THEN NULL
+      ELSE {_name(0)}
+           || (CASE WHEN n_att >= 2 THEN '|' || {_name(1)} ELSE '' END)
+           || (CASE WHEN n_att >= 3 THEN '|' || {_name(2)} ELSE '' END)
+    END AS attendees,
+    CASE WHEN k % 5 = 0 THEN NULL
+         WHEN (k//5) % 2 = 0 THEN ({_lst(MEDIUMS)})[1 + CAST((k//10) % 6 AS INT)]
+         ELSE ({_lst(LOC_PHYS)})[1 + CAST((k//10) % 8 AS INT)]
+    END AS location,
+    CASE WHEN (k//11) % 6 = 0 THEN NULL
+         ELSE ({_lst([g for _, g in DUR_PAIRS])})[1 + CAST((k//13) % 8 AS INT)]
+    END AS duration,
+    CASE WHEN k % 25 = 0 THEN ({_lst(REC_KWS)})[1 + CAST((k//25) % 8 AS INT)] ELSE NULL END AS recurrence,
+    CASE WHEN k % 40 = 0 THEN ({_lst(NOTES)})[1 + CAST((k//40) % 4 AS INT)] ELSE NULL END AS notes
+  FROM g
+)
+"""
+
+GOLD_FIELDS = [
+    "action", "date", "time", "attendees",
+    "location", "duration", "recurrence", "notes",
+]
+
+
+def gold_events_sql(fields: list[str] | None = None) -> str:
+    """Oracle SQL for the canonical extracted-events table."""
+    cols = ", ".join(["conv_id", "turn_idx"] + (fields or GOLD_FIELDS))
+    return f"{GOLD_CTE} SELECT {cols} FROM gold"
+
+
+def gold_triples_sql() -> str:
+    """Oracle SQL for the (pred, obj, obj_idx) triple view of the gold."""
+    scalar = " UNION ALL ".join(
+        f"SELECT conv_id, turn_idx, '{p}' AS pred, {p} AS obj, 0 AS obj_idx "
+        f"FROM gold WHERE {p} IS NOT NULL"
+        for p in ["action", "date", "time", "location", "duration", "recurrence", "notes"]
+    )
+    att = " UNION ALL ".join(
+        f"SELECT conv_id, turn_idx, 'attendee' AS pred, {_name(i)} AS obj, "
+        f"{i} AS obj_idx FROM gold WHERE n_att_raw >= {i + 1}"
+        for i in range(3)
+    )
+    # re-expose n_att inside gold for the attendee expansion
+    cte = GOLD_CTE.replace(
+        "    k,\n    'conv-'",
+        "    k,\n    n_att AS n_att_raw,\n    'conv-'",
+    )
+    return f"{cte} {scalar} UNION ALL {att}"
+
+
+def gold_entity_pool_sql() -> str:
+    """Oracle for the attendee entity-pool aggregation (A1/O1): frequency
+    per name over all gold events."""
+    parts = " UNION ALL ".join(
+        f"SELECT {_name(i)} AS name FROM gold WHERE n_att_raw >= {i + 1}"
+        for i in range(3)
+    )
+    cte = GOLD_CTE.replace(
+        "    k,\n    'conv-'",
+        "    k,\n    n_att AS n_att_raw,\n    'conv-'",
+    )
+    return (
+        f"{cte}, names AS ({parts}) "
+        "SELECT name, CAST(count(*) AS BIGINT) AS cnt FROM names GROUP BY name"
+    )
