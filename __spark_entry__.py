@@ -29,12 +29,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from calendar_event_entity_extraction_spark.docs_queries import docs_queries
     from calendar_event_entity_extraction_spark.queries import kg_queries
+    from calendar_event_entity_extraction_spark.relational_queries import (
+        relational_queries,
+    )
 
-    return dict(kg_queries())
+    return {**kg_queries(), **docs_queries(), **relational_queries()}
 
 
 def oracle_sql() -> dict[str, str]:
+    from calendar_event_entity_extraction_spark.docs_queries import docs_oracles
     from calendar_event_entity_extraction_spark.queries import kg_oracles
+    from calendar_event_entity_extraction_spark.relational_queries import (
+        relational_oracles,
+    )
 
-    return dict(kg_oracles())
+    return {**kg_oracles(), **docs_oracles(), **relational_oracles()}

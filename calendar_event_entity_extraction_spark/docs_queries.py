@@ -1,0 +1,300 @@
+"""Training-data-pipeline queries over the documents/embeddings tables,
+each paired with a DuckDB oracle.
+
+The documents table has no natural duplicates, so the dedup queries first
+plant deterministic duplicates (an identical copy and a mutated copy),
+constructed with the same expression in both engines.
+
+All computed integers are BIGINT on both sides; float similarity values are
+excluded from compared outputs (ranks compared instead) or rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    EN_STOPWORDS,
+    fingerprint_col,
+    punct_count_col,
+    stopword_hits_col,
+    token_count_col,
+)
+from .operators.dedup import (
+    dedup_first_wins,
+    minhash_near_duplicates,
+    minhash_signature,
+    simhash16_col,
+)
+from .operators.similarity import brute_force_topk
+from .operators.splits import assign_split, drop_split_leakage
+
+PLANT_OFFSET = 1_000_000
+
+# ---------------------------------------------------------------- helpers
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ identical copies (doc_id%20==7) ∪ mutated copies
+    (doc_id%20==3, two extra tail tokens)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    ident = d.filter(F.col("doc_id") % 20 == 7).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    mut = d.filter(F.col("doc_id") % 20 == 3).select(
+        (F.col("doc_id") + 2 * PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail tokens")).alias("text"),
+    )
+    return d.unionByName(ident).unionByName(mut)
+
+
+_PLANTED_SQL = f"""
+planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 20 = 7
+  UNION ALL
+  SELECT doc_id + {2 * PLANT_OFFSET} AS doc_id, text || ' extra tail tokens' AS text
+  FROM documents WHERE doc_id % 20 = 3
+)
+"""
+
+_TOKENS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_SHINGLES_SQL = f"""
+list_distinct(list_transform(
+  range(1, greatest(len({_TOKENS_SQL}) - 2, 0) + 1),
+  i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1] || ' ' || {_TOKENS_SQL}[i+2]
+))
+"""
+
+
+def _mh_sql(j: int) -> str:
+    return f"list_aggregate(list_transform(sh, s -> md5('{j}|' || s)), 'min')"
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dedup_first_wins(_docs_planted(spark, sf_dir), ["text"], "doc_id")
+        .select("doc_id")
+    )
+
+
+O_DEDUP_EXACT = f"WITH {_PLANTED_SQL} SELECT min(doc_id) AS doc_id FROM planted GROUP BY text"
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", *minhash_signature(F.col("text"), perms=4))
+
+
+O_MINHASH_SIG = f"""
+WITH t AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+SELECT doc_id, {_mh_sql(0)} AS mh0, {_mh_sql(1)} AS mh1,
+       {_mh_sql(2)} AS mh2, {_mh_sql(3)} AS mh3
+FROM t
+"""
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_near_duplicates(
+        _docs_planted(spark, sf_dir), "doc_id", "text",
+        threshold=0.6, perms=8, rows_per_band=2,
+    )
+    # exact integer intersect/union sizes instead of a float ratio
+    from .operators.dedup import shingles_col
+
+    sh = _docs_planted(spark, sf_dir).select(
+        F.col("doc_id"), shingles_col(F.col("text")).alias("sh")
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("n_union"),
+        )
+    )
+
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_key FROM sigs"
+    for b in range(4)
+)
+
+O_MINHASH_NEARDUP = f"""
+WITH {_PLANTED_SQL},
+t AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM planted),
+sigs AS (SELECT doc_id, {", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(8))} FROM t),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union
+FROM cand c JOIN t a ON c.id_a = a.doc_id JOIN t b ON c.id_b = b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) >= 0.6 * len(list_distinct(list_concat(a.sh, b.sh)))
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", simhash16_col(F.col("text")).cast("long").alias("simhash")
+    )
+
+
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform({_TOKENS_SQL}, "
+    f"t -> CASE WHEN substr(md5(t), {b + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+    f"THEN {2 ** b} ELSE 0 END)"
+    for b in range(16)
+)
+O_SIMHASH = f"SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM documents"
+
+
+# ---------------------------------------------------------------- splits
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assign_split(_docs(spark, sf_dir), "doc_id").select("doc_id", "split")
+
+
+O_HASH_SPLIT = """
+SELECT doc_id,
+       CASE WHEN (doc_id * 2654435761) % 100 < 70 THEN 'train'
+            WHEN (doc_id * 2654435761) % 100 < 85 THEN 'eval'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planted = assign_split(_docs_planted(spark, sf_dir), "doc_id")
+    return drop_split_leakage(planted).select("doc_id", "split")
+
+
+O_SPLIT_LEAKAGE = f"""
+WITH {_PLANTED_SQL},
+s AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS sig,
+         CASE WHEN (doc_id * 2654435761) % 100 < 70 THEN 'train'
+              WHEN (doc_id * 2654435761) % 100 < 85 THEN 'eval'
+              ELSE 'test' END AS split
+  FROM planted
+)
+SELECT doc_id, split FROM s WHERE split = 'train'
+UNION ALL
+SELECT doc_id, split FROM s
+WHERE split = 'eval' AND sig NOT IN (SELECT sig FROM s WHERE split = 'train')
+UNION ALL
+SELECT doc_id, split FROM s
+WHERE split = 'test' AND sig NOT IN (SELECT sig FROM s WHERE split = 'train')
+  AND sig NOT IN (SELECT sig FROM s WHERE split = 'eval')
+"""
+
+
+# ---------------------------------------------------------------- text stats
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    text = F.col("text")
+    n_tok = token_count_col(text).cast("long")
+    en_hits = stopword_hits_col(text).cast("long")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars_measured"),
+        n_tok.alias("n_tokens"),
+        punct_count_col(text).cast("long").alias("n_punct"),
+        en_hits.alias("en_stopword_hits"),
+        F.when(en_hits * 10 >= n_tok, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+        fingerprint_col(text).alias("fingerprint"),
+    )
+
+
+_SW_LIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+O_TEXT_STATS = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS BIGINT) AS n_chars_measured,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_TOKENS_SQL}) END AS BIGINT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter({_TOKENS_SQL}, w -> list_contains({_SW_LIST}, w))) AS BIGINT) AS en_stopword_hits
+  FROM documents
+)
+SELECT doc_id, n_chars_measured, n_tokens, n_punct, en_stopword_hits,
+       CASE WHEN en_stopword_hits * 10 >= n_tokens THEN 'en' ELSE 'other' END AS lang_pred,
+       substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fingerprint
+FROM t
+"""
+
+
+# ---------------------------------------------------------------- vectors
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 41 == 0)
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+
+
+O_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 41 = 0),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q, embeddings e WHERE e.vec_id != q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+  FROM s
+)
+SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------- catalog
+
+
+def docs_queries() -> dict:
+    return {
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash": q_simhash,
+        "hash_split": q_hash_split,
+        "split_leakage_anti": q_split_leakage,
+        "text_stats": q_text_stats,
+        "ann_topk": q_ann_topk,
+    }
+
+
+def docs_oracles() -> dict:
+    return {
+        "dedup_exact": O_DEDUP_EXACT,
+        "minhash_signatures": O_MINHASH_SIG,
+        "minhash_neardup": O_MINHASH_NEARDUP,
+        "simhash": O_SIMHASH,
+        "hash_split": O_HASH_SPLIT,
+        "split_leakage_anti": O_SPLIT_LEAKAGE,
+        "text_stats": O_TEXT_STATS,
+        "ann_topk": O_ANN_TOPK,
+    }

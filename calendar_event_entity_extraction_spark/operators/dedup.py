@@ -1,0 +1,183 @@
+"""Deduplication family: exact, signature, MinHash+LSH, SimHash, Jaccard.
+
+The reference only has exact signature dedup (``augmentation/utils.py:36-46``,
+first-wins over a (text, sorted-JSON) signature). At 100 TB a training-data
+pipeline additionally needs near-duplicate detection; all variants here are
+pure Column expressions (JVM-side, whole-stage codegen) built on *portable*
+hashing (md5), so every step is reproducible in plain SQL by the oracle.
+
+Scale notes:
+* exact/signature dedup → one hash-partition shuffle on the signature;
+  first-wins via window, not ``collect``.
+* MinHash LSH → narrow signature computation, then a self-equi-join on band
+  keys (shuffle on band value, skew-bounded because a band bucket at
+  reasonable thresholds is tiny); candidate verification is per-pair.
+* SimHash → narrow; near-dup lookup joins on simhash bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact
+
+
+def dedup_first_wins(df: DataFrame, sig_cols: list[str], order_col: str) -> DataFrame:
+    """First-wins exact dedup (reference ``dedupe_text_output``): keep the
+    lowest ``order_col`` row per signature. Window + row_number, never a
+    driver-side set."""
+    w = Window.partitionBy(*sig_cols).orderBy(F.col(order_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def canonical_json_signature(struct_col: Column) -> Column:
+    """Reference's orjson OPT_SORT_KEYS signature (``utils.py:41``): to_json
+    of a canonically-ordered struct. Build the struct with sorted field order
+    at the call site; this just serializes it."""
+    return F.to_json(struct_col)
+
+
+# ---------------------------------------------------------------- shingles
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), TOKEN_SPLIT_RE)
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; null when the text is shorter than n
+    tokens (sequence() would otherwise run backwards)."""
+    toks = tokens_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams))
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def minhash_signature(text: Column, perms: int = 8, n: int = 3) -> list[Column]:
+    """One min-hash per permutation: min over shingles of
+    md5(perm-tag || shingle). md5 is identical in Spark and DuckDB/standard
+    SQL, so signatures are engine-portable. String-min over uniform hex
+    digests is an order-preserving stand-in for integer min-hash."""
+    sh = shingles_col(text, n)
+
+    def _mh(j: int) -> Column:
+        # nb: j must be bound via a real closure — a `j=j` lambda default
+        # changes the lambda's arity and pyspark then binds it as (elem, idx)
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
+        ).alias(f"mh{j}")
+
+    return [_mh(j) for j in range(perms)]
+
+
+def minhash_bands(df: DataFrame, id_col: str, text_col: str, perms: int = 8, rows_per_band: int = 2, n: int = 3) -> DataFrame:
+    """id, band_idx, band_key — LSH banding of the minhash signature."""
+    sigs = minhash_signature(F.col(text_col), perms, n)
+    with_sig = df.select(F.col(id_col).alias("id"), *sigs)
+    bands = perms // rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return with_sig.select("id", F.explode(band_structs).alias("b")).select(
+        "id", "b.band_idx", "b.band_key"
+    )
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    perms: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate pairs via LSH band equi-join, verified by exact shingle
+    Jaccard ≥ threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    The band join shuffles on band_key only; the verify re-join fetches the
+    two shingle sets per surviving candidate pair.
+    """
+    bands = minhash_bands(df, id_col, text_col, perms, rows_per_band, n)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
+    )
+    return (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash16_col(text: Column) -> Column:
+    """16-bit SimHash over word tokens. Bit b of a token = high bit of hex
+    nibble b of md5(token) ('8'..'f' ⇒ 1), portable to any SQL with md5().
+    The document bit is the sign of the per-bit ±1 vote sum."""
+    toks = tokens_col(text)
+
+    def _vote(b: int) -> Column:
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.substring(F.md5(t), b + 1, 1) >= "8", 1).otherwise(-1),
+        )
+
+    total = None
+    for b in range(16):
+        bit = F.when(_vote(b) > 0, F.lit(2**b)).otherwise(F.lit(0))
+        total = bit if total is None else total + bit
+    return total.cast("int")
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-bucket SimHash near-dup pairs (hamming distance 0 buckets).
+    For hamming ≤ k, join on band splits of the simhash instead."""
+    s = df.select(F.col(id_col).alias("id"), simhash16_col(F.col(text_col)).alias("sh"))
+    return (
+        s.alias("x")
+        .join(s.alias("y"), (F.col("x.sh") == F.col("y.sh")) & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), F.col("x.sh").alias("simhash"))
+    )

@@ -1,0 +1,75 @@
+"""Entity pooling + linking + skew-safe aggregation.
+
+Re-expresses the reference's entity machinery Spark-first:
+
+* ``build_entity_pools`` (``augmentation/entity_pools.py:7-20``): a Counter
+  over all attendees/locations, top-500 by frequency → here a hash aggregate
+  + top-k, returned both as a DataFrame and as a small broadcast dictionary.
+* entity linking (the reference's implicit name matching, SURVEY.md J2):
+  a broadcast map-side join of extracted entity mentions against the pool —
+  never a shuffle join, the dictionary is tiny by construction.
+* salted two-phase aggregation for skewed hot keys (`north_rule`): hot
+  entities ("Zoom" is ~28% of reference locations) concentrate a groupBy key;
+  we pre-aggregate on (key, salt) then re-aggregate on key, turning one
+  skewed reduce task into SALT_BUCKETS balanced ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_TOP_K = 500
+DEFAULT_SALT_BUCKETS = 16
+
+
+def salted_count(df: DataFrame, key: str, buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+    """groupBy(key).count() as a salted two-phase aggregate.
+
+    Phase 1 groups on (key, salt) where salt = pmod(xxhash64(whole row id),
+    buckets) — map-side partial aggregation already balances most of it, the
+    explicit salt guarantees no single reducer owns a hot key's entire
+    stream. Phase 2 sums the per-salt partials.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
+    )
+    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_pc"))
+    return partial.groupBy(key).agg(F.sum("_pc").alias("cnt"))
+
+
+def build_entity_pools(
+    triples: DataFrame, pred: str, top_k: int = DEFAULT_TOP_K
+) -> DataFrame:
+    """Frequency-ranked top-k pool for one predicate (attendee / location).
+
+    orderBy(desc(cnt), name) + limit = distributed top-k (Spark runs this as
+    a per-partition TakeOrdered + driver merge, not a global sort).
+    """
+    counts = salted_count(triples.filter(F.col("pred") == pred).select(F.col("obj").alias("name")), "name")
+    return counts.orderBy(F.desc("cnt"), F.asc("name")).limit(top_k)
+
+
+def pool_as_dict(pool: DataFrame) -> dict[str, int]:
+    """Collect the (tiny) pool to a driver dict for broadcast."""
+    return {r["name"]: i for i, r in enumerate(pool.collect())}
+
+
+def link_entities(triples: DataFrame, pool: DataFrame, pred: str) -> DataFrame:
+    """Attach a stable entity_rank id to triples of ``pred`` via a broadcast
+    join against the pool; unlinked mentions keep entity_rank = null.
+
+    The pool side is forced broadcast — at 100 TB the triples side never
+    shuffles for this join.
+    """
+    w_rank = pool.select(
+        F.col("name"),
+        (
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("name"))) - 1
+        ).alias("entity_rank"),
+    )
+    return triples.join(
+        F.broadcast(w_rank),
+        (F.col("pred") == pred) & (F.col("obj") == F.col("name")),
+        "left",
+    ).drop("name")

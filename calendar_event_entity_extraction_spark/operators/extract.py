@@ -41,11 +41,14 @@ WITH_RE = rf"\b(?:with|w/) ({NAME}(?:(?:, | & | and ){NAME})*)"
 # anchored to the tail of a time mention so date digits can't false-trigger
 BARE_RE = rf"(?:\d ?[apAP][mM]|:[0-5]\d|\bnoon) ({NAME}(?:, {NAME})*)"
 
-PHYS_LOC_RE = r"\b(?:at|in) (?!\d|noon\b)([A-Za-z][A-Za-z0-9 ]*?)(?= for | lasting |[.,]|$)"
+_CLAUSE = r" for | lasting | on | at | in | with | w/ | via | over | starting "
+PHYS_LOC_RE = (
+    rf"\b(?:at|in) (?!\d|noon\b)([A-Za-z][A-Za-z0-9 ]*?)(?={_CLAUSE}|[.,]|$)"
+)
 
 NOTE_RE = r"\. Note: (.+)\.$"
 
-ACTION_RE = rf"^(?:(?:{REC_ALT}) )?(.+?)(?= on | \d| (?:{MONTH_ALT})\b)"
+ACTION_RE = rf"^(?:(?:{REC_ALT}) )?(.+?)(?={_CLAUSE}| \d| (?:{MONTH_ALT})\b)"
 
 
 def _ne(c: Column) -> Column:

@@ -1,0 +1,69 @@
+"""Field-level evaluation with the reference's exact comparison semantics.
+
+Replicates ``src/evaluate_finetuned.py:48-99`` (``compute_metrics``):
+
+* raw ``==`` equality per field — case/whitespace-sensitive, ordered-list
+  equality for attendees, ``null == null`` counts as correct;
+* field accuracies are fractions of ALL samples (an undetected event scores
+  0 on every field);
+* ``exact_match`` = all 8 fields equal;
+* plus per-field precision/recall over non-null values (the P/R ≥ 0.95 gate
+  from BASELINE.json).
+
+The positional ``zip(predictions, targets)`` of the reference
+(``src/evaluate_baseline.py:69``) becomes an equi-join on the stable row key
+``(conv_id, turn_idx)`` — never positional in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FIELDS = ["action", "date", "time", "attendees", "location", "duration", "recurrence", "notes"]
+
+
+def join_pred_gold(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Full-outer equi-join on (conv_id, turn_idx); missing predictions /
+    spurious detections surface as all-null sides."""
+    p = pred.select(
+        "conv_id", "turn_idx", *[F.col(f).alias(f"p_{f}") for f in FIELDS]
+    )
+    g = gold.select(
+        "conv_id", "turn_idx", *[F.col(f).alias(f"g_{f}") for f in FIELDS]
+    )
+    return p.join(g, ["conv_id", "turn_idx"], "full_outer")
+
+
+def field_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """One-row DataFrame: per-field accuracy (reference semantics), per-field
+    precision/recall, and exact_match. Single partial+final hash aggregate."""
+    j = join_pred_gold(pred, gold)
+    eqs = [F.col(f"p_{f}").eqNullSafe(F.col(f"g_{f}")) for f in FIELDS]
+    aggs = []
+    for f, eq in zip(FIELDS, eqs):
+        p_nn = F.col(f"p_{f}").isNotNull()
+        g_nn = F.col(f"g_{f}").isNotNull()
+        aggs.append(F.avg(eq.cast("double")).alias(f"{f}_accuracy"))
+        # precision: of predicted non-null values, how many match gold
+        aggs.append(
+            (F.sum((eq & p_nn).cast("long")) / F.sum(p_nn.cast("long"))).alias(
+                f"{f}_precision"
+            )
+        )
+        # recall: of gold non-null values, how many were predicted exactly
+        aggs.append(
+            (F.sum((eq & g_nn).cast("long")) / F.sum(g_nn.cast("long"))).alias(
+                f"{f}_recall"
+            )
+        )
+    exact = F.avg(
+        F.when(eqs[0] & eqs[1] & eqs[2] & eqs[3] & eqs[4] & eqs[5] & eqs[6] & eqs[7], 1.0)
+        .otherwise(0.0)
+    ).alias("exact_match")
+    micro = sum(eq.cast("double") for eq in eqs) / F.lit(float(len(FIELDS)))
+    return j.agg(exact, F.avg(micro).alias("field_accuracy"), *aggs)
+
+
+def metrics_dict(pred: DataFrame, gold: DataFrame) -> dict:
+    return field_metrics(pred, gold).collect()[0].asDict()

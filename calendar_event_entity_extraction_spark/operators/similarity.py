@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns.
+
+* Brute-force cosine top-k: broadcast the (small) query set against the full
+  corpus — one narrow pass + per-query top-k, no corpus shuffle. This is the
+  exact baseline.
+* LSH-bucketed variant (scale path): random-hyperplane signs bucket the
+  corpus; queries probe only their bucket. Hyperplanes are derived
+  deterministically from md5 of (plane index, dimension index), so the
+  bucketing is reproducible with no RNG state.
+* Embedding-cosine near-duplicate pairs: same LSH buckets self-joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_col
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, cos) — exact top-k by cosine.
+
+    queries is broadcast (must be small); ranking ties break on neighbor id
+    so results are deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_col(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _hyperplane_sign(vec, plane_idx: int, dims: int):
+    """Deterministic pseudo-random hyperplane: component d weight is +1/-1
+    from the high bit of md5('{plane}|{d}'). Sign of <v, h>."""
+    weights = F.array(
+        *[
+            F.when(
+                F.substring(F.md5(F.lit(f"{plane_idx}|{d}")), 1, 1) >= "8", F.lit(1.0)
+            ).otherwise(F.lit(-1.0))
+            for d in range(dims)
+        ]
+    )
+    dot = F.aggregate(
+        F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def lsh_bucket_col(vec, planes: int, dims: int):
+    return F.concat(*[_hyperplane_sign(vec, p, dims) for p in range(planes)])
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 4,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket are
+    scored. Recall < 1; cost drops ~2^planes. Same output schema as
+    brute_force_topk."""
+    bucket = lsh_bucket_col(F.col(vec_col), planes, dims)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        bucket.alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        bucket.alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_col(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def cosine_near_duplicates(
+    corpus: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    planes: int = 6,
+) -> DataFrame:
+    """Near-duplicate vector pairs: LSH-bucket self-join + cosine verify."""
+    bucket = lsh_bucket_col(F.col(vec_col), planes, dims)
+    b = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket")
+    )
+    return (
+        b.alias("x")
+        .join(b.alias("y"), (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")))
+        .withColumn("cos", cosine_col(F.col("x.v"), F.col("y.v")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Deterministic splitting + leakage control.
+
+Replaces the reference's seeded in-memory shuffles and positional slicing
+(``augmentation/main.py:154-183``, 75/15/10; ``src/prepare_assignment_data.py:
+41-55``, 70/15/15) with hash-bucket assignment — stable under retries,
+repartitioning, and data growth, and identically computable in plain SQL
+(Knuth multiplicative hashing; no engine-specific hash needed).
+
+Also the split-leakage anti-join (``augmentation/augmentors.py:64-78``):
+eval/test rows whose normalized text signature appears in train are dropped,
+precedence train > eval > test — a textbook left anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # multiplicative hash constant; portable across engines
+
+
+def bucket_col(key: Column, buckets: int = 100) -> Column:
+    return F.pmod(key.cast("long") * F.lit(KNUTH), F.lit(buckets))
+
+
+def assign_split(
+    df: DataFrame, key: str, train: int = 70, eval_: int = 15
+) -> DataFrame:
+    """Adds a ``split`` column: train/eval/test by hash bucket of ``key``."""
+    b = bucket_col(F.col(key))
+    return df.withColumn(
+        "split",
+        F.when(b < train, "train").when(b < train + eval_, "eval").otherwise("test"),
+    )
+
+
+def text_signature(text: Column) -> Column:
+    """Normalized text signature for leakage detection
+    (``augmentation/augmentors.py:44-48``: lowercase, collapse whitespace)."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def drop_split_leakage(
+    splits: DataFrame, text_col: str = "text", split_col: str = "split"
+) -> DataFrame:
+    """Drop eval/test rows whose signature appears in train, and test rows
+    whose signature appears in eval (precedence train > eval > test).
+
+    Two left anti-joins; the signature side is aggregated first so the join
+    keys are distinct (smaller shuffle, and broadcastable when small).
+    """
+    sig = text_signature(F.col(text_col))
+    df = splits.withColumn("_sig", sig)
+    train_sigs = df.filter(F.col(split_col) == "train").select("_sig").distinct()
+    eval_sigs = df.filter(F.col(split_col) == "eval").select("_sig").distinct()
+
+    train = df.filter(F.col(split_col) == "train")
+    ev = df.filter(F.col(split_col) == "eval").join(train_sigs, "_sig", "left_anti")
+    te = (
+        df.filter(F.col(split_col) == "test")
+        .join(train_sigs, "_sig", "left_anti")
+        .join(eval_sigs, "_sig", "left_anti")
+    )
+    return train.unionByName(ev).unionByName(te).drop("_sig")
+
+
+def deterministic_sample(df: DataFrame, key: str, n: int, seed: int = 42) -> DataFrame:
+    """Reference's ``random.sample(data, n)`` (``evaluate_baseline.py:126``)
+    as a deterministic top-n by seeded hash — stable under retries and
+    partitioning, unlike task-local ``random``."""
+    return df.orderBy(F.xxhash64(F.col(key), F.lit(seed))).limit(n)

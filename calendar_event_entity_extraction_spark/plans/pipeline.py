@@ -1,0 +1,105 @@
+"""The end-to-end KG-construction pipeline with checkpoint-based resume.
+
+    transcripts ─▶ extract ─▶ canonicalize ─▶ triples ─▶ link ─▶ graph
+                                                     └▶ entity pools (broadcast)
+
+Each stage materializes to a partitioned table + ``_lineage.json`` manifest
+(sources/manifest.py). A restart with the same input fingerprint skips
+completed stages — partition-level idempotence comes from deterministic
+event_ids and overwrite-by-stage semantics.
+
+Physical design for 10^12 turns (SURVEY.md §4):
+* extract is narrow (map-only) — scales linearly, no shuffle;
+* canonicalize shuffles once on (conv_id, action, date, time);
+* entity pools are two-phase salted aggregates → tiny top-k → broadcast;
+* the edge table is written partitioned by ``pred`` (8 partitions, each
+  internally bucketed by event_id hash via repartition) so per-predicate
+  scans prune; the node table is the distinct entity set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.canonicalize import canonicalize_events
+from ..operators.entity_link import build_entity_pools, link_entities
+from ..operators.extract import extract_events
+from ..operators.triples import events_to_triples
+from ..sources import manifest as mf
+
+
+def input_fingerprint(transcripts: DataFrame) -> str:
+    """Cheap content fingerprint: row count + xor of conv hashes. One pass,
+    executor-side."""
+    row = transcripts.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("conv_id", "turn_idx") % 1_000_003).alias("h"),
+    ).collect()[0]
+    return f"n={row['n']};h={row['h']}"
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    resume: bool = True,
+    top_k: int = 500,
+) -> dict:
+    """Run (or resume) the full pipeline; returns the stage manifests."""
+    fp = input_fingerprint(transcripts)
+    manifests = {}
+
+    def stage(name: str, build, partition_by=None):
+        if resume and mf.stage_is_complete(out_dir, name, fp):
+            manifests[name] = mf.read_manifest(out_dir, name)
+            manifests[name]["resumed"] = True
+            return mf.read_stage(spark, out_dir, name)
+        df = build()
+        manifests[name] = mf.write_stage(df, out_dir, name, fp, partition_by)
+        return mf.read_stage(spark, out_dir, name)
+
+    events = stage(
+        "events",
+        lambda: canonicalize_events(extract_events(transcripts)),
+    )
+    triples = stage("triples", lambda: events_to_triples(events))
+
+    pools = stage(
+        "entity_pools",
+        lambda: build_entity_pools(triples, "attendee", top_k)
+        .withColumn("pred", F.lit("attendee"))
+        .unionByName(
+            build_entity_pools(triples, "location", top_k).withColumn(
+                "pred", F.lit("location")
+            )
+        ),
+    )
+
+    def build_edges():
+        att_pool = pools.filter(F.col("pred") == "attendee").select("name", "cnt")
+        return link_entities(triples, att_pool, "attendee")
+
+    edges = stage("edges", build_edges, partition_by=["pred"])
+
+    def build_nodes():
+        ent = (
+            edges.filter(F.col("pred").isin("attendee", "location"))
+            .select(
+                F.col("obj").alias("name"),
+                F.col("pred").alias("kind"),
+            )
+            .distinct()
+            .withColumn("node_id", F.xxhash64("kind", "name"))
+        )
+        ev = edges.select(
+            F.col("event_id").alias("node_id"),
+            F.col("conv_id").alias("name"),
+            F.lit("event").alias("kind"),
+        ).distinct()
+        return ent.select("node_id", "name", "kind").unionByName(
+            ev.select("node_id", "name", "kind")
+        )
+
+    stage("nodes", build_nodes, partition_by=["kind"])
+    return manifests

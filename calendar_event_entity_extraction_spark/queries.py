@@ -19,6 +19,7 @@ from .synth.oracle import (
     GOLD_FIELDS,
     gold_entity_pool_sql,
     gold_events_sql,
+    gold_location_pool_sql,
     gold_triples_sql,
 )
 from .synth.transcripts import keys_from_orders, transcripts_from_keys
@@ -68,11 +69,63 @@ def q_entity_pool_attendees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_pool_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Location entity pool via the skew-safe salted two-phase aggregate
+    (hot mediums like "Zoom" are ~28% of reference locations)."""
+    from .operators.entity_link import salted_count
+
+    tr = events_to_triples(canonical_events(spark, sf_dir))
+    loc = tr.filter(F.col("pred") == "location").select(F.col("obj").alias("name"))
+    return salted_count(loc, "name")
+
+
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference compute_metrics semantics (src/evaluate_finetuned.py:48-99)
+    on a controlled perturbation: predictions = extraction with location
+    clobbered on keys k%10==3, gold = unperturbed extraction. Accuracies are
+    then exact, engine-independent fractions of the key distribution."""
+    from .operators.metrics import field_metrics
+
+    ev = canonical_events(spark, sf_dir).cache()
+    k = F.substring("conv_id", 6, 20).cast("long")
+    pred = ev.withColumn(
+        "location",
+        F.when(F.pmod(k, 10) == 3, F.lit("PERTURBED")).otherwise(F.col("location")),
+    )
+    m = field_metrics(pred, ev)
+    return m.select(
+        F.round("exact_match", 6).alias("exact_match"),
+        F.round("field_accuracy", 6).alias("field_accuracy"),
+        F.round("location_accuracy", 6).alias("location_accuracy"),
+        F.round("action_accuracy", 6).alias("action_accuracy"),
+        F.round("location_precision", 6).alias("location_precision"),
+    )
+
+
+O_EVAL_METRICS = """
+WITH m AS (
+  SELECT avg(CASE WHEN o_orderkey % 10 = 3 THEN 1.0 ELSE 0.0 END) AS frac,
+         count(*) AS n,
+         sum(CASE WHEN o_orderkey % 10 != 3 AND o_orderkey % 5 != 0 THEN 1 ELSE 0 END) AS loc_match_nn,
+         sum(CASE WHEN o_orderkey % 10 = 3 OR o_orderkey % 5 != 0 THEN 1 ELSE 0 END) AS loc_pred_nn
+  FROM orders
+)
+SELECT round(1.0 - frac, 6) AS exact_match,
+       round(1.0 - frac/8, 6) AS field_accuracy,
+       round(1.0 - frac, 6) AS location_accuracy,
+       round(1.0, 6) AS action_accuracy,
+       round(CAST(loc_match_nn AS DOUBLE) / loc_pred_nn, 6) AS location_precision
+FROM m
+"""
+
+
 def kg_queries() -> dict:
     qs = {
         "events_extract": q_events_extract,
         "triples": q_triples,
         "entity_pool_attendees": q_entity_pool_attendees,
+        "entity_pool_locations": q_entity_pool_locations,
+        "eval_metrics": q_eval_metrics,
     }
     for f in GOLD_FIELDS:
         qs[f"extract_{f}"] = _field_query(f)
@@ -84,6 +137,8 @@ def kg_oracles() -> dict:
         "events_extract": gold_events_sql(),
         "triples": gold_triples_sql(),
         "entity_pool_attendees": gold_entity_pool_sql(),
+        "entity_pool_locations": gold_location_pool_sql(),
+        "eval_metrics": O_EVAL_METRICS,
     }
     for f in GOLD_FIELDS:
         oracles[f"extract_{f}"] = gold_events_sql([f])

@@ -1,0 +1,158 @@
+"""Generic relational layer demos over the TPC-H-ish tables.
+
+These exercise the engine's scan / aggregate / join / window / anti-join
+paths with Catalyst doing the physical planning (pushdown, broadcast,
+partial aggregation). Float SUMs are made engine-portable by summing exact
+DECIMALs of per-row-rounded doubles (per-row IEEE ops are deterministic;
+only multi-row accumulation order isn't), then casting the exact total back
+to double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation: filter pushdown + partial/final hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+O_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via window (reference O1's distributed form)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey")
+    )
+
+
+O_TOPK_ORDERS = """
+SELECT o_custkey, rank, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_customer_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast star join: customer ⋈ nation ⋈ region → counts. The dims
+    are tiny — explicitly broadcast so the fact side never shuffles."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+O_CUSTOMER_GEO = """
+SELECT r_name, n_name, count(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti-join (reference J4's relational shape): customers with no
+    high-value order."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey")
+
+
+O_CUST_NO_ORDERS = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_totalprice > 300000.0 AND o_custkey IS NOT NULL
+)
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + gap-threshold sessionization over the events stream table."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    return (
+        e.withColumn("new_sess", F.when(gap > 1800.0, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((F.sum("new_sess") + 1).cast("long").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+O_SESSIONIZATION = """
+WITH x AS (
+  SELECT user_id, event_id,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN gap > 1800.0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM x GROUP BY user_id
+"""
+
+
+def relational_queries() -> dict:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "customer_geo_rollup": q_customer_geo_rollup,
+        "customers_without_orders": q_customers_without_orders,
+        "sessionization": q_sessionization,
+    }
+
+
+def relational_oracles() -> dict:
+    return {
+        "pricing_summary": O_PRICING_SUMMARY,
+        "topk_orders_per_customer": O_TOPK_ORDERS,
+        "customer_geo_rollup": O_CUSTOMER_GEO,
+        "customers_without_orders": O_CUST_NO_ORDERS,
+        "sessionization": O_SESSIONIZATION,
+    }

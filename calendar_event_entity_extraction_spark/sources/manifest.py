@@ -1,0 +1,88 @@
+"""Per-stage lineage manifests + checkpoint-based resume.
+
+The `north_rule` requires batch-with-resume: each pipeline stage writes its
+output table plus a ``_lineage.json`` manifest recording the input
+fingerprint, row count, per-partition row counts, and config. On restart a
+stage whose manifest exists and whose input fingerprint still matches is
+skipped and its output re-read — the analog of the reference's HF
+``checkpoint-*`` dirs (``simple_output/checkpoint-277``), but content-
+addressed instead of step-numbered.
+
+Per-partition metrics are collected with ``spark_partition_id()`` grouping —
+an executor-side aggregation, not a driver loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_lineage.json"
+
+
+def partition_metrics(df: DataFrame) -> list[dict]:
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    )
+    return [{"partition": r["pid"], "rows": r["rows"]} for r in rows]
+
+
+def write_stage(
+    df: DataFrame,
+    out_dir: str,
+    stage: str,
+    input_fingerprint: str,
+    partition_by: list[str] | None = None,
+    config: dict | None = None,
+) -> dict:
+    """Write a stage output (Parquet, optionally partitioned) + manifest."""
+    path = os.path.join(out_dir, stage)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    manifest = {
+        "stage": stage,
+        "input_fingerprint": input_fingerprint,
+        "rows": written.count(),
+        "partitions": partition_metrics(written),
+        "partition_by": partition_by or [],
+        "config": config or {},
+        "written_at": datetime.now(timezone.utc).isoformat(),
+        "schema": written.schema.simpleString(),
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def read_manifest(out_dir: str, stage: str) -> dict | None:
+    p = os.path.join(out_dir, stage, MANIFEST_NAME)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def stage_is_complete(out_dir: str, stage: str, input_fingerprint: str) -> bool:
+    m = read_manifest(out_dir, stage)
+    return m is not None and m.get("input_fingerprint") == input_fingerprint
+
+
+def read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, stage))
+
+
+def write_manifest(out_dir: str, stage: str, manifest: dict) -> None:
+    os.makedirs(os.path.join(out_dir, stage), exist_ok=True)
+    with open(os.path.join(out_dir, stage, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=2)

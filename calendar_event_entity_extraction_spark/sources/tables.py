@@ -1,0 +1,54 @@
+"""Schema-enforced table readers.
+
+The reference reads row-oriented JSONL with inference and in-memory lists
+(``augmentation/utils.py:11-18``); here every scan is a lazy, schema-pinned
+columnar read — predicate pushdown and column pruning come free from
+Catalyst. Iceberg is the target catalog on a real cluster; this container
+has no Iceberg jars, so the reader falls back to Parquet with the same
+layout (a partitioned directory per table) behind an import-try, per the
+environment constraints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schemas import TRANSCRIPT_SCHEMA
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+def read_table(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Read an Iceberg table if the catalog is on the classpath, else the
+    Parquet directory with the same layout."""
+    if path.startswith("iceberg://") and _iceberg_available(spark):
+        return spark.read.format("iceberg").load(path[len("iceberg://"):])
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    return read_table(spark, path, TRANSCRIPT_SCHEMA)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Reference S1 (read_jsonl): PERMISSIVE schema-pinned JSON scan; blank
+    lines are dropped by the reader."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Reference S2 (write_jsonl) — for edge-compatibility only; internal
+    tables are always columnar."""
+    df.write.mode(mode).json(path)

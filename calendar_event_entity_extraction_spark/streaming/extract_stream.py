@@ -1,0 +1,60 @@
+"""Structured-Streaming face of the engine.
+
+The reference is batch-only; the engine's extraction stage is stateless
+per-row, so the exact same Column expressions run unchanged under
+``readStream`` — one definition, two execution modes. Late transcript turns
+are handled with an event-time watermark; windowed per-conversation rollups
+use append-mode watermarked aggregation.
+
+(The `north_rule`'s resume requirement is batch-with-manifests — see
+plans/pipeline.py; streaming here is the continuous-ingest variant.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_events
+from ..schemas import TRANSCRIPT_SCHEMA
+
+
+def streaming_extract(spark: SparkSession, input_dir: str) -> DataFrame:
+    """readStream over a transcripts directory → streaming events frame.
+    Extraction is narrow, so it's a stateless streaming map."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    return extract_events(stream)
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window event counts (late rows beyond the
+    watermark are dropped deterministically)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, input_dir: str, query_name: str = "stream_events"
+):
+    """Drive the streaming extraction synchronously to completion against a
+    static directory (smoke-test harness): memory sink + processAllAvailable."""
+    ev = streaming_extract(spark, input_dir).drop("attendees")
+    q = (
+        ev.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -108,6 +108,14 @@ def gold_triples_sql() -> str:
     return f"{cte} {scalar} UNION ALL {att}"
 
 
+def gold_location_pool_sql() -> str:
+    """Oracle for the salted location-pool aggregation."""
+    return (
+        f"{GOLD_CTE} SELECT location AS name, count(*) AS cnt "
+        "FROM gold WHERE location IS NOT NULL GROUP BY location"
+    )
+
+
 def gold_entity_pool_sql() -> str:
     """Oracle for the attendee entity-pool aggregation (A1/O1): frequency
     per name over all gold events."""

@@ -1,0 +1,83 @@
+"""Near-dup dedup vs brute-force ground truth; ANN vs numpy ground truth."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from calendar_event_entity_extraction_spark.operators.dedup import (
+    dedup_first_wins,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from calendar_event_entity_extraction_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river shore today"),  # near dup of 0
+    (3, "completely different text about spark partitions and shuffle behavior"),
+    (4, "another unrelated document mentioning catalyst optimizer rules"),
+    (5, "the quick brown fox jumps over the lazy dog near the river bank again ok"),  # near dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_first_wins(docs):
+    kept = dedup_first_wins(docs, ["text"], "doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 0 in ids and 1 not in ids and len(ids) == 5
+
+
+def test_minhash_finds_planted_neardups(docs):
+    pairs = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # identical
+    # verified jaccard filter: no pair involving the unrelated docs
+    assert not any(3 in p or 4 in p for p in got)
+    for r in pairs.collect():
+        assert r["jaccard"] >= 0.5
+
+
+def test_simhash_exact_bucket(docs):
+    pairs = simhash_near_duplicates(docs, "doc_id", "text")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 16).astype("float32")
+    vecs[1] = vecs[0] + 0.01 * rng.randn(16).astype("float32")  # planted near-dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df.cache(), vecs
+
+
+def test_brute_force_topk_matches_numpy(vectors):
+    df, vecs = vectors
+    q = df.filter(F.col("vec_id") < 3)
+    got = brute_force_topk(df, q, k=3).collect()
+    v = vecs.astype("float64")
+    sims = v @ v.T / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    for qid in range(3):
+        s = sims[qid].copy()
+        s[qid] = -np.inf
+        expect = list(np.argsort(-s)[:3])
+        mine = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == qid]
+        assert mine == expect, (qid, mine, expect)
+
+
+def test_lsh_topk_recalls_planted_neighbor(vectors):
+    df, _ = vectors
+    q = df.filter(F.col("vec_id") == 0)
+    got = lsh_topk(df, q, dims=16, k=3, planes=3).collect()
+    # the planted near-identical vector lands in the same LSH bucket
+    assert any(r["neighbor_id"] == 1 and r["rank"] == 1 for r in got), got

@@ -1,0 +1,51 @@
+"""Triple explode / rebuild round-trip and the per-turn text invariant."""
+
+from pyspark.sql import functions as F
+
+from calendar_event_entity_extraction_spark.operators import (
+    canonicalize_events,
+    extract_events,
+    events_to_triples,
+)
+from calendar_event_entity_extraction_spark.operators.triples import triples_to_events
+from calendar_event_entity_extraction_spark.synth import keys_df, transcripts_from_keys
+
+N = 2000
+
+
+def test_triples_roundtrip(spark):
+    keys = keys_df(spark, N)
+    ev = canonicalize_events(extract_events(transcripts_from_keys(keys))).cache()
+    back = triples_to_events(events_to_triples(ev))
+    cols = ["conv_id", "turn_idx", "action", "date", "time", "attendees",
+            "location", "duration", "recurrence", "notes"]
+    a = ev.select(cols)
+    b = back.select(cols)
+    assert a.count() == b.count() == N
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_per_turn_text_equality_invariant(spark):
+    """input_hint invariant: per-turn text is preserved end-to-end under
+    stable (conv_id, turn_idx) ordering."""
+    keys = keys_df(spark, N)
+    tr = transcripts_from_keys(keys).cache()
+    ev = extract_events(tr)
+    j = ev.alias("e").join(
+        tr.alias("t"), ["conv_id", "turn_idx"], "inner"
+    )
+    assert j.filter(F.col("e.text") != F.col("t.text")).count() == 0
+    # stable ordering: sorting twice yields identical sequences
+    a = [r["text"] for r in tr.orderBy("conv_id", "turn_idx").limit(500).collect()]
+    b = [r["text"] for r in tr.orderBy("conv_id", "turn_idx").limit(500).collect()]
+    assert a == b
+
+
+def test_event_id_stable_hash(spark):
+    keys = keys_df(spark, 100)
+    ev = extract_events(transcripts_from_keys(keys))
+    expected = ev.select(
+        "event_id", F.xxhash64("conv_id", "turn_idx").alias("h")
+    )
+    assert expected.filter(F.col("event_id") != F.col("h")).count() == 0
