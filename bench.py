@@ -1,0 +1,151 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name: sec},
+"sf", "extra": {"triples_per_sec", ...}}.
+
+The transcripts fixture is materialized to parquet once per (sf, size) in
+/tmp (generation is test scaffolding, excluded from timing); the timed
+region is the engine itself: scan → extract → canonicalize → triples.
+
+``--throughput-only`` runs just the triple-extraction throughput measurement
+(used by scripts/bench_scaling.py at two parallelism levels).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def materialize_transcripts(spark, sf_dir: str) -> str:
+    """Write the deterministic transcripts fixture for this sf once."""
+    from calendar_event_entity_extraction_spark.synth.transcripts import (
+        materialized_transcripts,
+    )
+
+    materialized_transcripts(spark, sf_dir)
+    n_keys = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    return f"/tmp/cees_bench/transcripts_{os.path.basename(sf_dir.rstrip('/'))}_{n_keys}"
+
+
+def time_extraction_throughput(spark, tr_path: str) -> dict:
+    from calendar_event_entity_extraction_spark.operators import (
+        canonicalize_events,
+        extract_events,
+        events_to_triples,
+    )
+    from calendar_event_entity_extraction_spark.schemas import TRANSCRIPT_SCHEMA
+
+    t0 = time.time()
+    tr = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(tr_path)
+    triples = events_to_triples(canonicalize_events(extract_events(tr)))
+    n_triples = triples.count()
+    dt = time.time() - t0
+    return {
+        "seconds": dt,
+        "n_triples": n_triples,
+        "triples_per_sec": n_triples / dt,
+    }
+
+
+def main() -> None:
+    throughput_only = "--throughput-only" in sys.argv
+
+    from calendar_event_entity_extraction_spark.session import get_spark
+
+    spark = get_spark(app_name="cees-bench", cores=CPUS)
+    tr_path = materialize_transcripts(spark, SF_DIR)
+
+    # warm the JVM + whole-stage-codegen of the actual extraction plan on a
+    # tiny slice so timings measure steady-state execution, not compilation
+    from calendar_event_entity_extraction_spark.operators import (
+        canonicalize_events as _c,
+        extract_events as _e,
+        events_to_triples as _t,
+    )
+
+    _t(_c(_e(spark.read.parquet(tr_path).limit(2000)))).count()
+
+    queries: dict[str, float] = {}
+    thr = time_extraction_throughput(spark, tr_path)
+    queries["triple_extraction"] = round(thr["seconds"], 3)
+
+    extra = {
+        "triples_per_sec": round(thr["triples_per_sec"], 1),
+        "n_triples": thr["n_triples"],
+        "cpus": int(CPUS),
+    }
+
+    if not throughput_only:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "entry", os.path.join(os.path.dirname(os.path.abspath(__file__)), "__spark_entry__.py")
+        )
+        entry = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry)
+        headline = [
+            "events_extract",
+            "triples",
+            "entity_pool_attendees",
+            "entity_pool_locations",
+            "eval_metrics",
+            "dedup_exact",
+            "minhash_neardup",
+            "simhash",
+            "text_stats",
+            "ann_topk",
+            "hash_split",
+            "split_leakage_anti",
+            "pricing_summary",
+            "topk_orders_per_customer",
+            "customer_geo_rollup",
+            "sessionization",
+        ]
+        qmap = entry.queries()
+        for name in headline:
+            t0 = time.time()
+            qmap[name](spark, SF_DIR).count()
+            queries[name] = round(time.time() - t0, 3)
+
+        # full graph materialization (write-inclusive), resumed-from-clean
+        from calendar_event_entity_extraction_spark.plans.pipeline import run_pipeline
+        import shutil
+
+        out = "/tmp/cees_bench/pipeline_out"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        run_pipeline(spark, spark.read.parquet(tr_path), out, resume=False)
+        queries["full_pipeline_materialize"] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "triples/sec extraction throughput (field-level P/R>=0.95 gate in pytest)",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_from_dir(SF_DIR),
+        "extra": extra,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -109,22 +109,7 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.6, perms=8, rows_per_band=2,
     )
     # exact integer intersect/union sizes instead of a float ratio
-    from .operators.dedup import shingles_col
-
-    sh = _docs_planted(spark, sf_dir).select(
-        F.col("doc_id"), shingles_col(F.col("text")).alias("sh")
-    )
-    return (
-        pairs.select("id_a", "id_b")
-        .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
-            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("n_union"),
-        )
-    )
+    return pairs.select("id_a", "id_b", "n_inter", "n_union")
 
 
 _BANDS_SQL = " UNION ALL ".join(

@@ -65,12 +65,11 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 # ---------------------------------------------------------------- minhash
 
 
-def minhash_signature(text: Column, perms: int = 8, n: int = 3) -> list[Column]:
+def minhash_from_shingles(sh: Column, perms: int = 8) -> list[Column]:
     """One min-hash per permutation: min over shingles of
     md5(perm-tag || shingle). md5 is identical in Spark and DuckDB/standard
     SQL, so signatures are engine-portable. String-min over uniform hex
     digests is an order-preserving stand-in for integer min-hash."""
-    sh = shingles_col(text, n)
 
     def _mh(j: int) -> Column:
         # nb: j must be bound via a real closure — a `j=j` lambda default
@@ -82,10 +81,22 @@ def minhash_signature(text: Column, perms: int = 8, n: int = 3) -> list[Column]:
     return [_mh(j) for j in range(perms)]
 
 
+def minhash_signature(text: Column, perms: int = 8, n: int = 3) -> list[Column]:
+    return minhash_from_shingles(shingles_col(text, n), perms)
+
+
 def minhash_bands(df: DataFrame, id_col: str, text_col: str, perms: int = 8, rows_per_band: int = 2, n: int = 3) -> DataFrame:
-    """id, band_idx, band_key — LSH banding of the minhash signature."""
-    sigs = minhash_signature(F.col(text_col), perms, n)
-    with_sig = df.select(F.col(id_col).alias("id"), *sigs)
+    """id, band_idx, band_key — LSH banding of the minhash signature.
+
+    Shingles are materialized in their own projection so the (expensive)
+    tokenize+shingle expression is computed once per row, not once per
+    permutation — CollapseProject keeps non-cheap multi-referenced aliases
+    in separate stages.
+    """
+    sh_df = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("_sh")
+    )
+    with_sig = sh_df.select("id", *minhash_from_shingles(F.col("_sh"), perms))
     bands = perms // rows_per_band
     band_structs = F.array(
         *[
@@ -142,9 +153,11 @@ def minhash_near_duplicates(
     return (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")).cast("long"))
+        .withColumn("jaccard", F.col("n_inter") / F.col("n_union"))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard", "n_inter", "n_union")
     )
 
 

@@ -17,32 +17,38 @@ SCALAR_PREDS = ["action", "date", "time", "location", "duration", "recurrence", 
 
 
 def events_to_triples(events: DataFrame) -> DataFrame:
+    """Single-pass explode: scalar fields and the attendee list are merged
+    into ONE struct array per event before the explode, so the upstream plan
+    (scan → extract → canonicalize exchange) executes exactly once — a
+    union of two projections would re-run it per branch."""
     key = ["event_id", "conv_id", "turn_idx"]
-    scalar = events.select(
-        *key,
-        F.explode(
-            F.filter(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(p).alias("pred"),
-                            F.col(p).alias("obj"),
-                            F.lit(0).alias("obj_idx"),
-                        )
-                        for p in SCALAR_PREDS
-                    ]
-                ),
-                lambda s: s["obj"].isNotNull(),
+    scalar_arr = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("pred"),
+                F.col(p).alias("obj"),
+                F.lit(0).alias("obj_idx"),
             )
-        ).alias("t"),
-    ).select(*key, "t.pred", "t.obj", "t.obj_idx")
-
-    att = (
-        events.filter(F.col("attendees").isNotNull())
-        .select(*key, F.posexplode("attendees").alias("obj_idx", "obj"))
-        .select(*key, F.lit("attendee").alias("pred"), "obj", "obj_idx")
+            for p in SCALAR_PREDS
+        ]
     )
-    return scalar.unionByName(att)
+    att_arr = F.coalesce(
+        F.transform(
+            F.col("attendees"),
+            lambda x, i: F.struct(
+                F.lit("attendee").alias("pred"),
+                x.alias("obj"),
+                i.cast("int").alias("obj_idx"),
+            ),
+        ),
+        F.array().cast("array<struct<pred:string,obj:string,obj_idx:int>>"),
+    )
+    all_arr = F.filter(
+        F.concat(scalar_arr, att_arr), lambda s: s["obj"].isNotNull()
+    )
+    return events.select(*key, F.explode(all_arr).alias("t")).select(
+        *key, "t.pred", "t.obj", "t.obj_idx"
+    )
 
 
 def triples_to_events(triples: DataFrame) -> DataFrame:

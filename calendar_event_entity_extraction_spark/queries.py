@@ -22,14 +22,19 @@ from .synth.oracle import (
     gold_location_pool_sql,
     gold_triples_sql,
 )
-from .synth.transcripts import keys_from_orders, transcripts_from_keys
+from .synth.transcripts import (
+    keys_from_orders,
+    materialized_transcripts,
+    transcripts_from_keys,
+)
 
 
 def canonical_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline: synth transcripts (scaled by the sf's orders
-    table) → detect → extract → canonicalize."""
-    keys = keys_from_orders(spark, sf_dir)
-    return canonicalize_events(extract_events(transcripts_from_keys(keys)))
+    table, generated once and cached as parquet) → detect → extract →
+    canonicalize."""
+    tr = materialized_transcripts(spark, sf_dir)
+    return canonicalize_events(extract_events(tr))
 
 
 def q_events_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -64,6 +64,25 @@ def transcripts_from_keys(keys: DataFrame) -> DataFrame:
     return keys.mapInPandas(gen, schema=TRANSCRIPT_SCHEMA)
 
 
+def materialized_transcripts(
+    spark: SparkSession, sf_dir: str, cache_root: str = "/tmp/cees_bench"
+) -> DataFrame:
+    """Transcripts fixture for an sf dir, generated once and cached as
+    parquet (generation is Python scaffolding; the engine reads columnar).
+    Size scales with the sf's orders table; content is deterministic."""
+    import os
+
+    n_keys = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    base = os.path.basename(sf_dir.rstrip("/"))
+    path = f"{cache_root}/transcripts_{base}_{n_keys}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        keys = keys_from_orders(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism * 2
+        )
+        transcripts_from_keys(keys).write.mode("overwrite").parquet(path)
+    return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+
+
 def gold_events(keys: DataFrame) -> DataFrame:
     """keys(k bigint) → gold 8-field events, one row per conversation.
 
