@@ -35,10 +35,27 @@ def _sf_from_dir(d: str) -> float:
 
 
 def materialize_transcripts(spark, sf_dir: str) -> str:
-    """Write the deterministic transcripts fixture for this sf once."""
+    """Write the deterministic transcripts fixture once. With
+    ``SPARK_GRAFT_KEYS=N`` the fixture is N synthetic conversations from a
+    range scan (used by the scaling harness for a compute-bound job);
+    otherwise it scales with the sf's orders table."""
+    from calendar_event_entity_extraction_spark.synth import (
+        keys_df,
+        transcripts_from_keys,
+    )
     from calendar_event_entity_extraction_spark.synth.transcripts import (
         materialized_transcripts,
     )
+
+    n_override = os.environ.get("SPARK_GRAFT_KEYS")
+    if n_override:
+        n = int(n_override)
+        path = f"/tmp/cees_bench/transcripts_keys_{n}"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            transcripts_from_keys(keys_df(spark, n, 128)).write.mode(
+                "overwrite"
+            ).parquet(path)
+        return path
 
     materialized_transcripts(spark, sf_dir)
     n_keys = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
@@ -46,16 +63,14 @@ def materialize_transcripts(spark, sf_dir: str) -> str:
 
 
 def time_extraction_throughput(spark, tr_path: str) -> dict:
-    from calendar_event_entity_extraction_spark.operators import (
-        canonicalize_events,
-        extract_events,
-        events_to_triples,
+    from calendar_event_entity_extraction_spark.operators.triples import (
+        extract_triples,
     )
     from calendar_event_entity_extraction_spark.schemas import TRANSCRIPT_SCHEMA
 
     t0 = time.time()
     tr = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(tr_path)
-    triples = events_to_triples(canonicalize_events(extract_events(tr)))
+    triples = extract_triples(tr)
     n_triples = triples.count()
     dt = time.time() - t0
     return {
@@ -75,13 +90,11 @@ def main() -> None:
 
     # warm the JVM + whole-stage-codegen of the actual extraction plan on a
     # tiny slice so timings measure steady-state execution, not compilation
-    from calendar_event_entity_extraction_spark.operators import (
-        canonicalize_events as _c,
-        extract_events as _e,
-        events_to_triples as _t,
+    from calendar_event_entity_extraction_spark.operators.triples import (
+        extract_triples as _xt,
     )
 
-    _t(_c(_e(spark.read.parquet(tr_path).limit(2000)))).count()
+    _xt(spark.read.parquet(tr_path).limit(2000)).count()
 
     queries: dict[str, float] = {}
     thr = time_extraction_throughput(spark, tr_path)

@@ -160,8 +160,8 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_HASH_SPLIT = """
 SELECT doc_id,
-       CASE WHEN (doc_id * 2654435761) % 100 < 70 THEN 'train'
-            WHEN (doc_id * 2654435761) % 100 < 85 THEN 'eval'
+       CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 70 THEN 'train'
+            WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 85 THEN 'eval'
             ELSE 'test' END AS split
 FROM documents
 """
@@ -177,8 +177,8 @@ WITH {_PLANTED_SQL},
 s AS (
   SELECT doc_id,
          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS sig,
-         CASE WHEN (doc_id * 2654435761) % 100 < 70 THEN 'train'
-              WHEN (doc_id * 2654435761) % 100 < 85 THEN 'eval'
+         CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 70 THEN 'train'
+              WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 85 THEN 'eval'
               ELSE 'test' END AS split
   FROM planted
 )

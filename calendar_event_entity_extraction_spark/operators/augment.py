@@ -1,0 +1,100 @@
+"""The reference's augmentation operators, Spark-first.
+
+* J1 ``swap_entities_with_pools`` (``augmentation/augmentors.py:16-39``):
+  replace each attendee/location mention with a deterministic pool member;
+  text rewritten via whole-word case-insensitive regexp. The reference uses
+  ``random.choice``; at scale randomness must be retry-stable, so the
+  replacement is keyed on ``xxhash64(row key, mention, seed)``.
+* template render (``augmentation/renderers.py:7-12``): re-render the gold
+  fields through a fixed sentence template — pure concat exprs.
+* A2 ``analyze_dataset`` (``src/prepare_assignment_data.py:64-102``):
+  fill-rate / length statistics as a single aggregate.
+* O2 deterministic shuffle (``augmentation/main.py:154-156``): seeded-hash
+  ordering instead of in-memory ``random.shuffle``.
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import TARGET_KEYS
+
+
+def pick_pool_member(pool: list[str], key: Column, seed: int = 42) -> Column:
+    """Deterministic 'random.choice': pool[ xxhash64(key, seed) % len ]."""
+    arr = F.array(*[F.lit(p) for p in pool])
+    idx = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(len(pool))).cast("int")
+    return F.element_at(arr, idx + 1)
+
+
+def replace_whole_word_ci(text: Column, src: Column, dst: Column) -> Column:
+    """Whole-word case-insensitive replace (augmentors.py:9-13
+    ``replace_substrings``): regexp built per row; special chars escaped
+    JVM-side with a literal-quoting wrapper."""
+    pattern = F.concat(F.lit(r"(?i)\b\Q"), src, F.lit(r"\E\b"))
+    return F.regexp_replace(text, pattern, dst)
+
+
+def swap_location_with_pool(
+    df: DataFrame, pool: list[str], text_col: str = "text", seed: int = 42
+) -> DataFrame:
+    """Candidate-A augmentation: swap the location mention for a pool member
+    and rewrite the text consistently; rows without a location pass through."""
+    key = F.concat_ws("|", F.col("conv_id"), F.col("turn_idx").cast("string"))
+    new_loc = pick_pool_member(pool, key, seed)
+    has = F.col("location").isNotNull()
+    return df.withColumn(
+        text_col,
+        F.when(has, replace_whole_word_ci(F.col(text_col), F.col("location"), new_loc))
+        .otherwise(F.col(text_col)),
+    ).withColumn("location", F.when(has, new_loc).otherwise(F.col("location")))
+
+
+RENDER_TEMPLATES = [
+    # renderers.py:7-12 — four sentence shapes over the gold fields
+    "{action} on {date} at {time}",
+    "{action} at {time} on {date}",
+    "Schedule {action} for {date} {time}",
+    "{action} — {date}, {time}",
+]
+
+
+def render_template_col(seed_key: Column, seed: int = 43) -> Column:
+    """Candidate-B augmentation: re-render gold through a deterministic
+    template choice (text-only; gold unchanged)."""
+    idx = F.pmod(F.xxhash64(seed_key, F.lit(seed)), F.lit(len(RENDER_TEMPLATES)))
+    rendered = [
+        F.lit(t)
+        .alias("t")
+        for t in RENDER_TEMPLATES
+    ]
+    out = None
+    for i, t in enumerate(RENDER_TEMPLATES):
+        body = t.replace("{action}", "%s").replace("{date}", "%s").replace("{time}", "%s")
+        order = [m for m in _re.findall(r"\{(\w+)\}", t)]
+        expr = F.format_string(body, *[F.col(c) for c in order])
+        out = expr if out is None else F.when(idx == i, expr).otherwise(out)
+    return out
+
+
+def analyze_dataset(events: DataFrame) -> DataFrame:
+    """A2: non-null fill counts per field + text length stats, one pass."""
+    aggs = [F.count("*").alias("n_rows")]
+    for k in TARGET_KEYS:
+        aggs.append(
+            F.count(F.when(F.col(k).isNotNull(), 1)).alias(f"{k}_nonnull")
+        )
+    aggs += [
+        F.min(F.length("text")).alias("text_len_min"),
+        F.max(F.length("text")).alias("text_len_max"),
+    ]
+    return events.agg(*aggs)
+
+
+def deterministic_shuffle(df: DataFrame, key_cols: list[str], seed: int) -> DataFrame:
+    """O2: seeded pseudo-shuffle — global order by seeded hash of the row
+    key; stable under retries/partitioning, unlike random.shuffle."""
+    return df.orderBy(F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)))

@@ -17,10 +17,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 KNUTH = 2654435761  # multiplicative hash constant; portable across engines
+MOD = 1_000_000_007  # pre-reduction keeps key*KNUTH inside int64 (ANSI-safe)
 
 
 def bucket_col(key: Column, buckets: int = 100) -> Column:
-    return F.pmod(key.cast("long") * F.lit(KNUTH), F.lit(buckets))
+    reduced = F.pmod(key.cast("long"), F.lit(MOD))
+    return F.pmod(reduced * F.lit(KNUTH), F.lit(buckets))
 
 
 def assign_split(

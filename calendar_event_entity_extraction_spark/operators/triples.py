@@ -15,6 +15,23 @@ from pyspark.sql import functions as F
 
 SCALAR_PREDS = ["action", "date", "time", "location", "duration", "recurrence", "notes"]
 
+SLIM_EVENT_COLS = [
+    "event_id", "conv_id", "turn_idx",
+    "action", "date", "time", "attendees",
+    "location", "duration", "recurrence", "notes",
+]
+
+
+def extract_triples(transcripts: DataFrame) -> DataFrame:
+    """Fused transcripts → triples path: projects away text/ts/tool BEFORE
+    the canonicalize shuffle (min_by's struct blocks Catalyst's own column
+    pruning there), roughly halving the shuffle payload."""
+    from .canonicalize import canonicalize_events
+    from .extract import extract_events
+
+    slim = extract_events(transcripts).select(*SLIM_EVENT_COLS)
+    return events_to_triples(canonicalize_events(slim))
+
 
 def events_to_triples(events: DataFrame) -> DataFrame:
     """Single-pass explode: scalar fields and the attendee list are merged

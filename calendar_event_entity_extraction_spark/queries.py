@@ -61,12 +61,16 @@ def _field_query(field: str):
 
 
 def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tr = events_to_triples(canonical_events(spark, sf_dir))
+    from .operators.triples import extract_triples
+
+    tr = extract_triples(materialized_transcripts(spark, sf_dir))
     return tr.select("conv_id", "turn_idx", "pred", "obj", "obj_idx")
 
 
 def q_entity_pool_attendees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tr = events_to_triples(canonical_events(spark, sf_dir))
+    from .operators.triples import extract_triples
+
+    tr = extract_triples(materialized_transcripts(spark, sf_dir))
     return (
         tr.filter(F.col("pred") == "attendee")
         .groupBy(F.col("obj").alias("name"))
@@ -78,8 +82,9 @@ def q_entity_pool_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Location entity pool via the skew-safe salted two-phase aggregate
     (hot mediums like "Zoom" are ~28% of reference locations)."""
     from .operators.entity_link import salted_count
+    from .operators.triples import extract_triples
 
-    tr = events_to_triples(canonical_events(spark, sf_dir))
+    tr = extract_triples(materialized_transcripts(spark, sf_dir))
     loc = tr.filter(F.col("pred") == "location").select(F.col("obj").alias("name"))
     return salted_count(loc, "name")
 
@@ -107,6 +112,35 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 analyze_dataset (src/prepare_assignment_data.py:64-102): per-field
+    fill counts over the extracted events, one aggregate pass."""
+    from .schemas import TARGET_KEYS
+
+    ev = canonical_events(spark, sf_dir)
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.count(F.when(F.col(k).isNotNull(), 1)).alias(f"{k}_nonnull")
+            for k in TARGET_KEYS
+        ],
+    )
+
+
+O_DATASET_ANALYSIS = """
+SELECT count(*) AS n_rows,
+       count(*) AS action_nonnull,
+       count(*) AS date_nonnull,
+       count(*) AS time_nonnull,
+       CAST(sum(CASE WHEN o_orderkey % 4 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS attendees_nonnull,
+       CAST(sum(CASE WHEN o_orderkey % 5 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS location_nonnull,
+       CAST(sum(CASE WHEN (o_orderkey // 11) % 6 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS duration_nonnull,
+       CAST(sum(CASE WHEN o_orderkey % 25 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS recurrence_nonnull,
+       CAST(sum(CASE WHEN o_orderkey % 40 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS notes_nonnull
+FROM orders
+"""
+
+
 O_EVAL_METRICS = """
 WITH m AS (
   SELECT avg(CASE WHEN o_orderkey % 10 = 3 THEN 1.0 ELSE 0.0 END) AS frac,
@@ -131,6 +165,7 @@ def kg_queries() -> dict:
         "entity_pool_attendees": q_entity_pool_attendees,
         "entity_pool_locations": q_entity_pool_locations,
         "eval_metrics": q_eval_metrics,
+        "dataset_analysis": q_dataset_analysis,
     }
     for f in GOLD_FIELDS:
         qs[f"extract_{f}"] = _field_query(f)
@@ -144,6 +179,7 @@ def kg_oracles() -> dict:
         "entity_pool_attendees": gold_entity_pool_sql(),
         "entity_pool_locations": gold_location_pool_sql(),
         "eval_metrics": O_EVAL_METRICS,
+        "dataset_analysis": O_DATASET_ANALYSIS,
     }
     for f in GOLD_FIELDS:
         oracles[f"extract_{f}"] = gold_events_sql([f])
