@@ -44,6 +44,13 @@ DUR_RE = (
     r"((?:\d+(?:\.\d+)? ?|a few )(?:minutes|mins|minute|min|hours|hour|hrs|hr)\b)"
 )
 
+# relative-date phrases (G3) resolved against a pinned reference "today" —
+# the reference resolves against datetime.now() (faker_synth.py:100-123);
+# an engine must take the reference instant as a job parameter instead
+DEFAULT_REF_TODAY = "2025-06-15"
+REL_RE = r"\b(day after tomorrow|tomorrow|today)\b"
+_REL_OFFSETS = {"today": 0, "tomorrow": 1, "day after tomorrow": 2}
+
 
 def _ne(c: Column) -> Column:
     """Spark regexp_extract yields '' on no-match; convert to null."""
@@ -59,7 +66,7 @@ def _month_num(mon3: Column) -> Column:
     return F.array_position(F.array(*[F.lit(m) for m in MONTHS_3]), mon3).cast("string")
 
 
-def date_norm_col(text: Column) -> Column:
+def date_norm_col(text: Column, ref_today: str = DEFAULT_REF_TODAY) -> Column:
     """First date mention → normalized gold form (null if none)."""
     iso = _ne(F.regexp_extract(text, ISO_RE, 1))  # verbatim passthrough
     slash = _dmy(
@@ -82,7 +89,18 @@ def date_norm_col(text: Column) -> Column:
         _ne(F.regexp_extract(text, DASH_RE, 2)),
         _ne(F.regexp_extract(text, DASH_RE, 3)),
     )
-    return F.coalesce(iso, slash, mdy, dmon, dash)
+    rel_phrase = _ne(F.regexp_extract(text, REL_RE, 1))
+    rel_date = F.date_add(
+        F.lit(ref_today).cast("date"),
+        F.coalesce(
+            *[
+                F.when(rel_phrase == p, F.lit(off))
+                for p, off in _REL_OFFSETS.items()
+            ]
+        ),
+    )
+    rel = F.when(rel_phrase.isNotNull(), F.date_format(rel_date, "dd/MM/yyyy"))
+    return F.coalesce(iso, slash, mdy, dmon, dash, rel)
 
 
 def time_norm_col(text: Column) -> Column:

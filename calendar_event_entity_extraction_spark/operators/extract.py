@@ -38,8 +38,12 @@ NAME = r"[A-Z][a-z]+"
 # "with A, B and C" / "w/ A & B" (reference: with=336, w/=160 of 596 rows)
 WITH_RE = rf"\b(?:with|w/) ({NAME}(?:(?:, | & | and ){NAME})*)"
 # bare post-time name list ("Status check 2024-02-09 10:30 am James, Mia") —
-# anchored to the tail of a time mention so date digits can't false-trigger
-BARE_RE = rf"(?:\d ?[apAP][mM]|:[0-5]\d|\bnoon) ({NAME}(?:, {NAME})*)"
+# anchored to the tail of a time mention (optionally a timezone tag) so date
+# digits can't false-trigger
+BARE_RE = (
+    rf"(?:\d ?[apAP][mM]|:[0-5]\d|\bnoon)(?: \([A-Z]{{2,4}}\))? "
+    rf"({NAME}(?:, {NAME})*)"
+)
 
 _CLAUSE = r" for | lasting | on | at | in | with | w/ | via | over | starting "
 PHYS_LOC_RE = (
@@ -48,7 +52,10 @@ PHYS_LOC_RE = (
 
 NOTE_RE = r"\. Note: (.+)\.$"
 
-ACTION_RE = rf"^(?:(?:{REC_ALT}) )?(.+?)(?={_CLAUSE}| \d| (?:{MONTH_ALT})\b)"
+ACTION_RE = (
+    rf"^(?:(?:{REC_ALT}) )?(.+?)"
+    rf"(?={_CLAUSE}| \d| (?:{MONTH_ALT})\b| (?:today|tomorrow|day after)\b)"
+)
 
 
 def _ne(c: Column) -> Column:
@@ -56,7 +63,9 @@ def _ne(c: Column) -> Column:
 
 
 def action_col(text: Column) -> Column:
-    return _ne(F.regexp_extract(text, ACTION_RE, 1))
+    raw = _ne(F.regexp_extract(text, ACTION_RE, 1))
+    # the reference's gold expands "mtg" → "meeting" (SURVEY §1.2 action row)
+    return F.regexp_replace(raw, r"\bmtg\b", "meeting")
 
 
 def attendees_col(text: Column) -> Column:

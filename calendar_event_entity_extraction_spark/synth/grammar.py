@@ -95,6 +95,14 @@ DUR_VERBS = ["for", "lasting"]
 EPOCH = _dt.date(2024, 1, 1)
 TS_EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
 
+# bump when any formula changes — invalidates materialized fixture caches
+GRAMMAR_VERSION = 2
+
+# pinned "now" for relative-date resolution (G3) — the reference resolves
+# against datetime.now() (faker_synth.py:294); we must not (FIXTURES.md §0)
+REF_TODAY = _dt.date(2025, 6, 15)
+REL_PHRASES = ["today", "tomorrow", "day after tomorrow"]  # offset = index
+
 
 def _ord_suffix(d: int) -> str:
     if 11 <= d % 100 <= 13:
@@ -128,7 +136,7 @@ def event_spec(k: int) -> EventSpec:
     # ---- date
     d0 = EPOCH + _dt.timedelta(days=(k * 37) % 730)
     d, m, y = d0.day, d0.month, d0.year
-    s_date = k % 6
+    s_date = k % 7
     ddmmyyyy = f"{d:02d}/{m:02d}/{y}"
     if s_date == 0:
         date_text, gold_date = ddmmyyyy, ddmmyyyy
@@ -142,8 +150,13 @@ def event_spec(k: int) -> EventSpec:
         gold_date = ddmmyyyy
     elif s_date == 4:
         date_text, gold_date = f"{d} {MONTHS_ABBR[m - 1]} {y}", ddmmyyyy
-    else:
+    elif s_date == 5:
         date_text, gold_date = f"{d}-{m}-{y}", ddmmyyyy
+    else:  # G3: relative date, gold is the RESOLVED DD/MM/YYYY
+        off = (k // 3) % 3
+        date_text = REL_PHRASES[off]
+        rd = REF_TODAY + _dt.timedelta(days=off)
+        gold_date = f"{rd.day:02d}/{rd.month:02d}/{rd.year}"
 
     # ---- time
     s_time = k % 5
@@ -170,6 +183,8 @@ def event_spec(k: int) -> EventSpec:
     else:
         time_text = "noon"
         gold_time = "12:00 PM"
+    if k % 10 == 2:  # P9 noise: timezone tag; gold time unchanged
+        time_text = f"{time_text} (IST)"
 
     # ---- attendees (ordered, never [])
     n_att = k % 4
@@ -223,13 +238,18 @@ def event_spec(k: int) -> EventSpec:
         note_clause = f". Note: {gold_note}."
 
     action = ACTIONS[(k // 6) % 12]
-    date_intro = " on " if (k // 9) % 2 == 0 else " "
+    action_text = action
+    if k % 10 == 4:  # P9 noise: "meeting"→"mtg" in text; gold keeps "meeting"
+        action_text = action.replace("meeting", "mtg")
+    date_intro = " " if s_date == 6 else (" on " if (k // 9) % 2 == 0 else " ")
     time_intro = TIME_INTROS[(k // 21) % 3]
 
     text = (
-        f"{rec_prefix}{action}{date_intro}{date_text}{time_intro}{time_text}"
+        f"{rec_prefix}{action_text}{date_intro}{date_text}{time_intro}{time_text}"
         f"{att_clause}{loc_clause}{dur_clause}{note_clause}"
     )
+    if k % 10 == 6:  # P9 noise: emoji tail; gold unchanged
+        text = f"{text} 🙂"
 
     # a confirmation echo of the same request later in the conversation —
     # exercises window-based co-referent canonicalization

@@ -39,10 +39,11 @@ WITH f AS (
 ), g AS (
   SELECT k, req_turn,
          day(d0) AS d, month(d0) AS m, year(d0) AS y,
-         k % 6 AS s_date, k % 5 AS s_time, k % 4 AS n_att,
+         day(rd) AS rel_d, month(rd) AS rel_m, year(rd) AS rel_y,
+         k % 7 AS s_date, k % 5 AS s_time, k % 4 AS n_att,
          CASE WHEN k % 5 = 4 THEN 12 ELSE (k*7+3) % 24 END AS h24,
          CASE WHEN k % 5 IN (1,4) THEN 0 ELSE 15*((k*5)%4) END AS mm
-  FROM f
+  FROM (SELECT *, DATE '2025-06-15' + CAST((k//3) % 3 AS INT) AS rd FROM f)
 ), gold AS (
   SELECT
     k,
@@ -51,6 +52,8 @@ WITH f AS (
     ({_lst(ACTIONS)})[1 + CAST((k//6) % 12 AS INT)] AS action,
     CASE WHEN s_date = 1
       THEN CAST(y AS VARCHAR) || '-' || lpad(CAST(m AS VARCHAR),2,'0') || '-' || lpad(CAST(d AS VARCHAR),2,'0')
+      WHEN s_date = 6
+      THEN lpad(CAST(rel_d AS VARCHAR),2,'0') || '/' || lpad(CAST(rel_m AS VARCHAR),2,'0') || '/' || CAST(rel_y AS VARCHAR)
       ELSE lpad(CAST(d AS VARCHAR),2,'0') || '/' || lpad(CAST(m AS VARCHAR),2,'0') || '/' || CAST(y AS VARCHAR)
     END AS date,
     CASE WHEN s_time = 3

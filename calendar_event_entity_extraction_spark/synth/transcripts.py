@@ -72,9 +72,11 @@ def materialized_transcripts(
     Size scales with the sf's orders table; content is deterministic."""
     import os
 
+    from .grammar import GRAMMAR_VERSION
+
     n_keys = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     base = os.path.basename(sf_dir.rstrip("/"))
-    path = f"{cache_root}/transcripts_{base}_{n_keys}"
+    path = f"{cache_root}/transcripts_v{GRAMMAR_VERSION}_{base}_{n_keys}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         keys = keys_from_orders(spark, sf_dir).repartition(
             spark.sparkContext.defaultParallelism * 2
