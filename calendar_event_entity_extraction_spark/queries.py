@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 
 from .operators.canonicalize import canonicalize_events
 from .operators.extract import extract_events
-from .operators.triples import events_to_triples
 from .synth.oracle import (
     GOLD_FIELDS,
     gold_entity_pool_sql,
@@ -22,11 +21,7 @@ from .synth.oracle import (
     gold_location_pool_sql,
     gold_triples_sql,
 )
-from .synth.transcripts import (
-    keys_from_orders,
-    materialized_transcripts,
-    transcripts_from_keys,
-)
+from .synth.transcripts import materialized_transcripts
 
 
 def canonical_events(spark: SparkSession, sf_dir: str) -> DataFrame:
