@@ -125,9 +125,39 @@ def time_norm_col(text: Column) -> Column:
     return F.coalesce(t_ampm, t_24, t_h, noon, midnight)
 
 
+# G4: time range — when no explicit duration, it derives as end − start
+RANGE_RE = (
+    r"\bfrom (\d{1,2}):([0-5]\d) ?([apAP][mM]) "
+    r"to (\d{1,2}):([0-5]\d) ?([apAP][mM])\b"
+)
+
+
+def _minutes_of_day(h: Column, m: Column, ap: Column) -> Column:
+    h12 = h.cast("int") % 12
+    add = F.when(F.lower(ap) == "pm", F.lit(12)).otherwise(F.lit(0))
+    return (h12 + add) * 60 + m.cast("int")
+
+
+def range_duration_col(text: Column) -> Column:
+    """Derived duration from a 'from X to Y' range (reference G4,
+    faker_synth.py:311-321): (end − start) mod 24h, rendered 'N minutes'."""
+
+    def g(i: int) -> Column:
+        return _ne(F.regexp_extract(text, RANGE_RE, i))
+
+    start = _minutes_of_day(g(1), g(2), g(3))
+    end = _minutes_of_day(g(4), g(5), g(6))
+    delta = F.pmod(end - start, F.lit(1440))
+    return F.when(
+        g(1).isNotNull(), F.concat(delta.cast("string"), F.lit(" minutes"))
+    )
+
+
 def duration_norm_col(text: Column) -> Column:
     """Duration phrase after for/lasting, with the reference's two light
-    normalizations applied (everything else verbatim)."""
+    normalizations applied (everything else verbatim); falls back to the
+    range-derived duration when no explicit phrase exists."""
     raw = _ne(F.regexp_extract(text, DUR_RE, 1))
     spaced = F.regexp_replace(raw, r"(\d)(mins\b)", r"$1 $2")
-    return F.regexp_replace(spaced, r"\bhr\b", "hour")
+    explicit = F.regexp_replace(spaced, r"\bhr\b", "hour")
+    return F.coalesce(explicit, range_duration_col(text))

@@ -66,11 +66,6 @@ def render_template_col(seed_key: Column, seed: int = 43) -> Column:
     """Candidate-B augmentation: re-render gold through a deterministic
     template choice (text-only; gold unchanged)."""
     idx = F.pmod(F.xxhash64(seed_key, F.lit(seed)), F.lit(len(RENDER_TEMPLATES)))
-    rendered = [
-        F.lit(t)
-        .alias("t")
-        for t in RENDER_TEMPLATES
-    ]
     out = None
     for i, t in enumerate(RENDER_TEMPLATES):
         body = t.replace("{action}", "%s").replace("{date}", "%s").replace("{time}", "%s")

@@ -129,7 +129,7 @@ SELECT count(*) AS n_rows,
        count(*) AS time_nonnull,
        CAST(sum(CASE WHEN o_orderkey % 4 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS attendees_nonnull,
        CAST(sum(CASE WHEN o_orderkey % 5 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS location_nonnull,
-       CAST(sum(CASE WHEN (o_orderkey // 11) % 6 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS duration_nonnull,
+       CAST(sum(CASE WHEN (o_orderkey // 11) % 6 != 0 OR o_orderkey % 6 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS duration_nonnull,
        CAST(sum(CASE WHEN o_orderkey % 25 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS recurrence_nonnull,
        CAST(sum(CASE WHEN o_orderkey % 40 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS notes_nonnull
 FROM orders

@@ -96,7 +96,7 @@ EPOCH = _dt.date(2024, 1, 1)
 TS_EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
 
 # bump when any formula changes — invalidates materialized fixture caches
-GRAMMAR_VERSION = 2
+GRAMMAR_VERSION = 3
 
 # pinned "now" for relative-date resolution (G3) — the reference resolves
 # against datetime.now() (faker_synth.py:294); we must not (FIXTURES.md §0)
@@ -159,7 +159,7 @@ def event_spec(k: int) -> EventSpec:
         gold_date = f"{rd.day:02d}/{rd.month:02d}/{rd.year}"
 
     # ---- time
-    s_time = k % 5
+    s_time = k % 6
     h24 = (k * 7 + 3) % 24
     mm = 15 * ((k * 5) % 4)
     if s_time in (1, 4):
@@ -168,6 +168,7 @@ def event_spec(k: int) -> EventSpec:
         h24 = 12
     h12 = ((h24 + 11) % 12) + 1
     ap = "AM" if h24 < 12 else "PM"
+    range_delta = None
     if s_time == 0:
         time_text = f"{h12}:{mm:02d} {ap.lower()}"
         gold_time = f"{h12}:{mm:02d} {ap}"
@@ -180,9 +181,19 @@ def event_spec(k: int) -> EventSpec:
     elif s_time == 3:  # 24-h passthrough (reference keeps verbatim, §1.2)
         time_text = f"{h24:02d}:{mm:02d}"
         gold_time = time_text
-    else:
+    elif s_time == 4:
         time_text = "noon"
         gold_time = "12:00 PM"
+    else:  # G4: time range "from X to Y"; gold time = start, normalized
+        range_delta = 30 * ((k // 29) % 4 + 1)  # 30/60/90/120 minutes
+        end_total = (h24 * 60 + mm + range_delta) % 1440
+        eh24, emm = end_total // 60, end_total % 60
+        eh12 = ((eh24 + 11) % 12) + 1
+        eap = "am" if eh24 < 12 else "pm"
+        time_text = (
+            f"from {h12}:{mm:02d} {ap.lower()} to {eh12}:{emm:02d} {eap}"
+        )
+        gold_time = f"{h12}:{mm:02d} {ap}"
     if k % 10 == 2:  # P9 noise: timezone tag; gold time unchanged
         time_text = f"{time_text} (IST)"
 
@@ -218,12 +229,14 @@ def event_spec(k: int) -> EventSpec:
             prep = PHYS_PREPS[(k // 2) % 2]
             loc_clause, gold_loc = f" {prep} {loc}", loc
 
-    # ---- duration
+    # ---- duration (G4: derived from the time range when absent)
     dur_clause, gold_dur = "", None
     if (k // 11) % 6 != 0:
         dt_text, dt_gold = DUR_PAIRS[(k // 13) % 8]
         verb = DUR_VERBS[(k // 6) % 2]
         dur_clause, gold_dur = f" {verb} {dt_text}", dt_gold
+    elif range_delta is not None:
+        gold_dur = f"{range_delta} minutes"
 
     # ---- recurrence (rare; keyword prefixed, casing preserved)
     rec_prefix, gold_rec = "", None
@@ -242,7 +255,7 @@ def event_spec(k: int) -> EventSpec:
     if k % 10 == 4:  # P9 noise: "meeting"→"mtg" in text; gold keeps "meeting"
         action_text = action.replace("meeting", "mtg")
     date_intro = " " if s_date == 6 else (" on " if (k // 9) % 2 == 0 else " ")
-    time_intro = TIME_INTROS[(k // 21) % 3]
+    time_intro = " " if s_time == 5 else TIME_INTROS[(k // 21) % 3]
 
     text = (
         f"{rec_prefix}{action_text}{date_intro}{date_text}{time_intro}{time_text}"

@@ -40,9 +40,9 @@ WITH f AS (
   SELECT k, req_turn,
          day(d0) AS d, month(d0) AS m, year(d0) AS y,
          day(rd) AS rel_d, month(rd) AS rel_m, year(rd) AS rel_y,
-         k % 7 AS s_date, k % 5 AS s_time, k % 4 AS n_att,
-         CASE WHEN k % 5 = 4 THEN 12 ELSE (k*7+3) % 24 END AS h24,
-         CASE WHEN k % 5 IN (1,4) THEN 0 ELSE 15*((k*5)%4) END AS mm
+         k % 7 AS s_date, k % 6 AS s_time, k % 4 AS n_att,
+         CASE WHEN k % 6 = 4 THEN 12 ELSE (k*7+3) % 24 END AS h24,
+         CASE WHEN k % 6 IN (1,4) THEN 0 ELSE 15*((k*5)%4) END AS mm
   FROM (SELECT *, DATE '2025-06-15' + CAST((k//3) % 3 AS INT) AS rd FROM f)
 ), gold AS (
   SELECT
@@ -70,8 +70,11 @@ WITH f AS (
          WHEN (k//5) % 2 = 0 THEN ({_lst(MEDIUMS)})[1 + CAST((k//10) % 6 AS INT)]
          ELSE ({_lst(LOC_PHYS)})[1 + CAST((k//10) % 8 AS INT)]
     END AS location,
-    CASE WHEN (k//11) % 6 = 0 THEN NULL
-         ELSE ({_lst([g for _, g in DUR_PAIRS])})[1 + CAST((k//13) % 8 AS INT)]
+    CASE WHEN (k//11) % 6 != 0
+           THEN ({_lst([g for _, g in DUR_PAIRS])})[1 + CAST((k//13) % 8 AS INT)]
+         WHEN k % 6 = 5
+           THEN CAST(30*((k//29) % 4 + 1) AS VARCHAR) || ' minutes'
+         ELSE NULL
     END AS duration,
     CASE WHEN k % 25 = 0 THEN ({_lst(REC_KWS)})[1 + CAST((k//25) % 8 AS INT)] ELSE NULL END AS recurrence,
     CASE WHEN k % 40 = 0 THEN ({_lst(NOTES)})[1 + CAST((k//40) % 4 AS INT)] ELSE NULL END AS notes

@@ -78,6 +78,17 @@ UNIT_CASES = [
     ("weekly Standup on 5-4-2024 at noon for 45mins.", "action", "Standup"),
     ("Demo session 10th May 2024 at 9:05 AM. Note: bring the slides.", "notes", "bring the slides"),
     ("Demo session 10th May 2024 at 9:05 AM. Note: bring the slides.", "time", "9:05 AM"),
+    # G3 relative dates resolved against the pinned reference-now 2025-06-15
+    ("Standup tomorrow at 4pm.", "date", "16/06/2025"),
+    ("Standup day after tomorrow at 4pm.", "date", "17/06/2025"),
+    # G4 range: gold time = start; duration derived end-start when absent
+    ("Client call on 10/05/2024 from 9:30 am to 11:00 am on Zoom.", "time", "9:30 AM"),
+    ("Client call on 10/05/2024 from 9:30 am to 11:00 am on Zoom.", "duration", "90 minutes"),
+    ("Review 10/05/2024 from 11:30 pm to 1:00 am.", "duration", "90 minutes"),  # midnight wrap
+    ("Client call on 10/05/2024 from 9:30 am to 11:00 am for 1 hr.", "duration", "1 hour"),  # explicit wins
+    # P9 noise: mtg expansion, timezone tag
+    ("Strategy mtg on 10/05/2024 at 11:00 am (IST) w/ Alice.", "action", "Strategy meeting"),
+    ("Strategy mtg on 10/05/2024 at 11:00 am (IST) w/ Alice.", "time", "11:00 AM"),
 ]
 
 
