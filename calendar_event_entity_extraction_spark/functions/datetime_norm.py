@@ -27,12 +27,16 @@ MONTHS_3 = [m[:3] for m in MONTHS_FULL]
 MONTH_ALT = "|".join(MONTHS_FULL)
 MON3_ALT = "|".join(MONTHS_3)
 
-# date surface forms (reference generator styles, faker_synth.py:50-77)
-ISO_RE = r"\b(\d{4}-\d{2}-\d{2})\b"
-SLASH_RE = r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b"
-MDY_RE = rf"\b({MONTH_ALT}) (\d{{1,2}}), (\d{{4}})"
-DMON_RE = rf"\b(\d{{1,2}})(?:st|nd|rd|th)? ({MON3_ALT})[a-z]* (\d{{4}})"
-DASH_RE = r"\b(\d{1,2})-(\d{1,2})-(\d{4})\b"
+# date surface forms (reference generator styles, faker_synth.py:50-77);
+# day/month ranges are validated in the pattern because the reference's
+# normalize_date nulls unparseable dates (augmentation/main.py:76-84)
+_D = r"(3[01]|[12]\d|0?[1-9])"  # 1-31
+_M = r"(1[0-2]|0?[1-9])"  # 1-12
+ISO_RE = r"\b(\d{4}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))\b"
+SLASH_RE = rf"\b{_D}/{_M}/(\d{{4}})\b"
+MDY_RE = rf"\b({MONTH_ALT}) {_D}, (\d{{4}})"
+DMON_RE = rf"\b{_D}(?:st|nd|rd|th)? ({MON3_ALT})[a-z]* (\d{{4}})"
+DASH_RE = rf"\b{_D}-{_M}-(\d{{4}})\b"
 
 # time surface forms (faker_synth.py:80-97)
 T_AMPM_RE = r"\b(\d{1,2}):([0-5]\d) ?([apAP][mM])\b"
