@@ -138,6 +138,34 @@ FROM x GROUP BY user_id
 """
 
 
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the user's most recent order at or
+    before the event timestamp (union+window, one shuffle)."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    return asof_join(
+        e, o, left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        payload="o_orderkey", out_col="latest_orderkey",
+    ).select("event_id", "latest_orderkey")
+
+
+O_ASOF_LATEST_ORDER = """
+SELECT event_id, latest_orderkey FROM (
+  SELECT e.event_id, o.o_orderkey AS latest_orderkey,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+         ) AS rn
+  FROM events e
+  LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
 def relational_queries() -> dict:
     return {
         "pricing_summary": q_pricing_summary,
@@ -145,6 +173,7 @@ def relational_queries() -> dict:
         "customer_geo_rollup": q_customer_geo_rollup,
         "customers_without_orders": q_customers_without_orders,
         "sessionization": q_sessionization,
+        "asof_latest_order": q_asof_latest_order,
     }
 
 
@@ -155,4 +184,5 @@ def relational_oracles() -> dict:
         "customer_geo_rollup": O_CUSTOMER_GEO,
         "customers_without_orders": O_CUST_NO_ORDERS,
         "sessionization": O_SESSIONIZATION,
+        "asof_latest_order": O_ASOF_LATEST_ORDER,
     }
