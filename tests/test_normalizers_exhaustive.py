@@ -1,0 +1,109 @@
+"""Exhaustive conformance tests for the normalizers — every valid calendar
+date in all six explicit surface styles, the full hour×minute grid in all
+time styles, plus the 8-key schema conformance contract (SURVEY §5b)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from calendar_event_entity_extraction_spark.functions.datetime_norm import (
+    MONTHS_3 as MONTHS_ABBR,
+    MONTHS_FULL,
+    date_norm_col,
+    duration_norm_col,
+    time_norm_col,
+)
+
+
+def _ord(d):
+    if 11 <= d % 100 <= 13:
+        return "th"
+    return {1: "st", 2: "nd", 3: "rd"}.get(d % 10, "th")
+
+
+def test_date_norm_every_valid_date_all_styles(spark):
+    rows = []
+    for m in range(1, 13):
+        for d in range(1, 32):
+            try:
+                dt.date(2024, m, d)
+            except ValueError:
+                continue
+            ddmm = f"{d:02d}/{m:02d}/2024"
+            iso = f"2024-{m:02d}-{d:02d}"
+            rows += [
+                (f"{d:02d}/{m:02d}/2024", ddmm),
+                (iso, iso),  # ISO passthrough
+                (f"{MONTHS_FULL[m-1]} {d}, 2024", ddmm),
+                (f"{d}{_ord(d)} {MONTHS_FULL[m-1]} 2024", ddmm),
+                (f"{d} {MONTHS_ABBR[m-1]} 2024", ddmm),
+                (f"{d}-{m}-2024", ddmm),
+            ]
+    df = spark.createDataFrame(rows, "text string, expected string")
+    bad = df.filter(~date_norm_col(F.col("text")).eqNullSafe(F.col("expected")))
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_time_norm_full_grid(spark):
+    rows = []
+    for h24 in range(24):
+        h12 = ((h24 + 11) % 12) + 1
+        ap = "AM" if h24 < 12 else "PM"
+        for mm in range(0, 60, 7):
+            rows += [
+                (f"{h12}:{mm:02d} {ap.lower()}", f"{h12}:{mm:02d} {ap}"),
+                (f"{h12}:{mm:02d} {ap}", f"{h12}:{mm:02d} {ap}"),
+                (f"{h24:02d}:{mm:02d}", f"{h24:02d}:{mm:02d}"),  # 24-h verbatim
+            ]
+        rows.append((f"{h12}{ap.lower()}", f"{h12}:00 {ap}"))
+    rows.append(("noon", "12:00 PM"))
+    rows.append(("midnight", "12:00 AM"))
+    df = spark.createDataFrame(rows, "text string, expected string")
+    bad = df.filter(~time_norm_col(F.col("text")).eqNullSafe(F.col("expected")))
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_duration_norm_reference_forms(spark):
+    cases = [
+        ("for 45 minutes", "45 minutes"),
+        ("for 1 hour", "1 hour"),
+        ("for 1 hr", "1 hour"),
+        ("lasting 30 mins", "30 mins"),
+        ("for 45mins", "45 mins"),
+        ("for 1.5hrs", "1.5hrs"),  # kept verbatim (reference §1.2)
+        ("for a few hours", "a few hours"),
+        ("lasting 90 minutes", "90 minutes"),
+        ("no duration here", None),
+    ]
+    df = spark.createDataFrame(cases, "text string, expected string")
+    bad = df.filter(
+        ~duration_norm_col(F.col("text")).eqNullSafe(F.col("expected"))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_event_schema_conformance(spark):
+    """8 keys, correct types, null-not-empty, attendees never []."""
+    from calendar_event_entity_extraction_spark.operators import (
+        canonicalize_events,
+        extract_events,
+    )
+    from calendar_event_entity_extraction_spark.schemas import TARGET_KEYS
+    from calendar_event_entity_extraction_spark.synth import (
+        keys_df,
+        transcripts_from_keys,
+    )
+
+    ev = canonicalize_events(
+        extract_events(transcripts_from_keys(keys_df(spark, 2000)))
+    ).cache()
+    for k in TARGET_KEYS:
+        assert k in ev.columns
+        if k == "attendees":
+            assert ev.filter(F.size(F.col(k)) == 0).count() == 0  # never []
+        else:
+            assert ev.schema[k].dataType.simpleString() == "string"
+            assert ev.filter(F.trim(F.col(k)) == "").count() == 0  # never ""
+    # mandatory fields never null (reference raw: 0% null)
+    for k in ("action", "date", "time"):
+        assert ev.filter(F.col(k).isNull()).count() == 0
