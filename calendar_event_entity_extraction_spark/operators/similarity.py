@@ -109,6 +109,70 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: the corpus is partitioned into inverted
+    lists by nearest centroid; queries score only their ``n_probe`` nearest
+    lists. Centroids are a deterministic sample of the corpus (every
+    ceil(N/C)-th vector by id) — a k-means refinement would reuse exactly
+    this assignment machinery.
+
+    Scale shape: one narrow assignment pass over the corpus (centroids are
+    broadcast), then an equi-join on centroid id — the corpus is touched
+    once and only ~n_probe/n_centroids of it is scored per query.
+    """
+    cents = [
+        (i, r[vec_col])
+        for i, r in enumerate(
+            corpus.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)))  # deterministic pseudo-sample
+            .limit(n_centroids)
+            .collect()
+        )
+    ]
+
+    def nearest(vec, n: int):
+        scored = F.array(
+            *[
+                F.struct(
+                    (-cosine_col(vec, F.array(*[F.lit(float(x)) for x in cv]))).alias("d"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci, cv in cents
+            ]
+        )
+        return F.slice(F.array_sort(scored), 1, n)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(nearest(F.col(vec_col), 1), 1)["c"].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.transform(nearest(F.col(vec_col), n_probe), lambda s: s["c"])).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_col(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
 def cosine_near_duplicates(
     corpus: DataFrame,
     dims: int,

@@ -75,6 +75,19 @@ def test_brute_force_topk_matches_numpy(vectors):
         assert mine == expect, (qid, mine, expect)
 
 
+def test_ivf_topk_recalls_planted_neighbor(vectors):
+    from calendar_event_entity_extraction_spark.operators.similarity import ivf_topk
+
+    df, _ = vectors
+    q = df.filter(F.col("vec_id") == 0)
+    got = ivf_topk(df, q, k=3, n_centroids=8, n_probe=3).collect()
+    # the near-identical vector shares vec 0's cell (or a probed one)
+    assert any(r["neighbor_id"] == 1 and r["rank"] == 1 for r in got), got
+    # determinism
+    again = ivf_topk(df, q, k=3, n_centroids=8, n_probe=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
 def test_lsh_topk_recalls_planted_neighbor(vectors):
     df, _ = vectors
     q = df.filter(F.col("vec_id") == 0)
