@@ -70,29 +70,36 @@ def _month_num(mon3: Column) -> Column:
     return F.array_position(F.array(*[F.lit(m) for m in MONTHS_3]), mon3).cast("string")
 
 
+def _split_dmy(match: Column, sep: str) -> Column:
+    """One regex pass (group 0) + cheap split beats three regexp_extract
+    group calls — each group call re-runs the whole pattern."""
+    p = F.split(match, sep)
+    return _dmy(F.element_at(p, 1), F.element_at(p, 2), F.element_at(p, 3))
+
+
 def date_norm_col(text: Column, ref_today: str = DEFAULT_REF_TODAY) -> Column:
-    """First date mention → normalized gold form (null if none)."""
+    """First date mention → normalized gold form (null if none).
+
+    The style cascade is gated behind one cheap guard regex: rows with no
+    digit / relative keyword (most transcript turns) skip all six styles.
+    Lazy coalesce short-circuits matched rows.
+    """
     iso = _ne(F.regexp_extract(text, ISO_RE, 1))  # verbatim passthrough
-    slash = _dmy(
-        _ne(F.regexp_extract(text, SLASH_RE, 1)),
-        _ne(F.regexp_extract(text, SLASH_RE, 2)),
-        _ne(F.regexp_extract(text, SLASH_RE, 3)),
-    )
+    slash = _split_dmy(_ne(F.regexp_extract(text, SLASH_RE, 0)), "/")
+    mdy_m = F.split(_ne(F.regexp_extract(text, MDY_RE, 0)), " ")
     mdy = _dmy(
-        _ne(F.regexp_extract(text, MDY_RE, 2)),
-        _month_num(F.substring(_ne(F.regexp_extract(text, MDY_RE, 1)), 1, 3)),
-        _ne(F.regexp_extract(text, MDY_RE, 3)),
+        F.regexp_replace(F.element_at(mdy_m, 2), ",", ""),
+        _month_num(F.substring(F.element_at(mdy_m, 1), 1, 3)),
+        F.element_at(mdy_m, 3),
     )
+    dmon_m = F.split(_ne(F.regexp_extract(text, DMON_RE, 0)), " ")
     dmon = _dmy(
-        _ne(F.regexp_extract(text, DMON_RE, 1)),
-        _month_num(_ne(F.regexp_extract(text, DMON_RE, 2))),
-        _ne(F.regexp_extract(text, DMON_RE, 3)),
+        F.regexp_replace(F.element_at(dmon_m, 1), "[a-z]+", ""),
+        _month_num(F.substring(F.element_at(dmon_m, 2), 1, 3)),
+        F.element_at(dmon_m, 3),
     )
-    dash = _dmy(  # dayfirst: "5-4-2024" → 05/04/2024
-        _ne(F.regexp_extract(text, DASH_RE, 1)),
-        _ne(F.regexp_extract(text, DASH_RE, 2)),
-        _ne(F.regexp_extract(text, DASH_RE, 3)),
-    )
+    # dayfirst: "5-4-2024" → 05/04/2024
+    dash = _split_dmy(_ne(F.regexp_extract(text, DASH_RE, 0)), "-")
     rel_phrase = _ne(F.regexp_extract(text, REL_RE, 1))
     rel_date = F.date_add(
         F.lit(ref_today).cast("date"),
@@ -104,29 +111,37 @@ def date_norm_col(text: Column, ref_today: str = DEFAULT_REF_TODAY) -> Column:
         ),
     )
     rel = F.when(rel_phrase.isNotNull(), F.date_format(rel_date, "dd/MM/yyyy"))
-    return F.coalesce(iso, slash, mdy, dmon, dash, rel)
+    return F.when(
+        text.rlike(r"[0-9]|today|tomorrow"),
+        F.coalesce(iso, slash, mdy, dmon, dash, rel),
+    )
 
 
 def time_norm_col(text: Column) -> Column:
-    """First time mention → normalized gold form (null if none)."""
-    h1 = _ne(F.regexp_extract(text, T_AMPM_RE, 1))
+    """First time mention → normalized gold form (null if none). Same
+    guard + group-0-and-split strategy as date_norm_col."""
+    # one scan of the long text; sub-part regexes run on the ≤9-char match
+    m1 = _ne(F.regexp_extract(text, T_AMPM_RE, 0))
     t_ampm = F.concat(
-        h1.cast("int").cast("string"),  # lstrip leading zero
+        F.regexp_extract(m1, r"^\d{1,2}", 0).cast("int").cast("string"),
         F.lit(":"),
-        F.regexp_extract(text, T_AMPM_RE, 2),
+        F.regexp_extract(m1, r":(\d\d)", 1),
         F.lit(" "),
-        F.upper(F.regexp_extract(text, T_AMPM_RE, 3)),
+        F.upper(F.regexp_extract(m1, r"[apAP][mM]$", 0)),
     )
     t_24 = _ne(F.regexp_extract(text, T_24_RE, 0))  # verbatim passthrough
-    h2 = _ne(F.regexp_extract(text, T_HAMPM_RE, 1))
+    m2 = _ne(F.regexp_extract(text, T_HAMPM_RE, 0))
     t_h = F.concat(
-        h2.cast("int").cast("string"),
+        F.regexp_replace(m2, "[^0-9]", "").cast("int").cast("string"),
         F.lit(":00 "),
-        F.upper(F.regexp_extract(text, T_HAMPM_RE, 2)),
+        F.upper(F.regexp_replace(m2, "[^apmAPM]", "")),
     )
     noon = F.when(text.rlike(r"\bnoon\b"), F.lit("12:00 PM"))
     midnight = F.when(text.rlike(r"\bmidnight\b"), F.lit("12:00 AM"))
-    return F.coalesce(t_ampm, t_24, t_h, noon, midnight)
+    return F.when(
+        text.rlike(r"[0-9]|noon|midnight"),
+        F.coalesce(t_ampm, t_24, t_h, noon, midnight),
+    )
 
 
 # G4: time range — when no explicit duration, it derives as end − start
