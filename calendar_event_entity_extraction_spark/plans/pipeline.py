@@ -80,7 +80,17 @@ def run_pipeline(
         att_pool = pools.filter(F.col("pred") == "attendee").select("name", "cnt")
         return link_entities(triples, att_pool, "attendee")
 
-    edges = stage("edges", build_edges, partition_by=["pred"])
+    # edges use PARTITION-level checkpointing: a kill mid-stage resumes by
+    # writing only the missing pred partitions (north_rule: per-partition
+    # lineage + resume)
+    if resume and mf.stage_is_complete(out_dir, "edges", fp):
+        manifests["edges"] = mf.read_manifest(out_dir, "edges")
+        manifests["edges"]["resumed"] = True
+    else:
+        manifests["edges"] = mf.write_stage_partitioned_resumable(
+            build_edges(), out_dir, "edges", fp, "pred"
+        )
+    edges = mf.read_stage(spark, out_dir, "edges")
 
     def build_nodes():
         ent = (

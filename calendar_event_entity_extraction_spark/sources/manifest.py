@@ -19,7 +19,7 @@ import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F  # noqa: F401 — used in both writers
 
 MANIFEST_NAME = "_lineage.json"
 
@@ -75,11 +75,73 @@ def read_manifest(out_dir: str, stage: str) -> dict | None:
 
 def stage_is_complete(out_dir: str, stage: str, input_fingerprint: str) -> bool:
     m = read_manifest(out_dir, stage)
-    return m is not None and m.get("input_fingerprint") == input_fingerprint
+    return (
+        m is not None
+        and m.get("input_fingerprint") == input_fingerprint
+        and m.get("complete", True)
+    )
 
 
 def read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, stage))
+
+
+def write_stage_partitioned_resumable(
+    df: DataFrame,
+    out_dir: str,
+    stage: str,
+    input_fingerprint: str,
+    partition_col: str,
+) -> dict:
+    """Partition-level checkpointing: each partition value is written as its
+    own hive-style directory and recorded in the manifest IMMEDIATELY, so a
+    job killed mid-stage resumes by writing only the missing partitions.
+    (`_lineage.json` starts with '_' so Spark's partition discovery ignores
+    it when the stage is read back as one table.)"""
+    import shutil
+
+    path = os.path.join(out_dir, stage)
+    m = read_manifest(out_dir, stage)
+    if not m or m.get("input_fingerprint") != input_fingerprint or m.get(
+        "partition_by"
+    ) != [partition_col]:
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        m = {
+            "stage": stage,
+            "input_fingerprint": input_fingerprint,
+            "partition_by": [partition_col],
+            "partitions_done": [],
+            "complete": False,
+        }
+        write_manifest(out_dir, stage, m)
+
+    values = sorted(
+        str(r[0]) for r in df.select(partition_col).distinct().collect()
+    )
+    done = set(m["partitions_done"])
+    for v in values:
+        if v in done:
+            continue
+        df.filter(F.col(partition_col).cast("string") == v).drop(
+            partition_col
+        ).write.mode("overwrite").parquet(f"{path}/{partition_col}={v}")
+        m["partitions_done"].append(v)
+        write_manifest(out_dir, stage, m)
+
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    m.update(
+        {
+            "complete": True,
+            "rows": written.count(),
+            "partitions": partition_metrics(written),
+            "written_at": datetime.now(timezone.utc).isoformat(),
+            "schema": written.schema.simpleString(),
+        }
+    )
+    write_manifest(out_dir, stage, m)
+    return m
 
 
 def write_manifest(out_dir: str, stage: str, manifest: dict) -> None:
