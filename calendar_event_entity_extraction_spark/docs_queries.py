@@ -151,6 +151,65 @@ _SIMHASH_BITS = " + ".join(
 O_SIMHASH = f"SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM documents"
 
 
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit n-gram Jaccard between each doc and its planted mutated
+    copy: exact intersect/union sizes of the 3-gram shingle sets."""
+    from .operators.dedup import shingles_col
+
+    d = _docs(spark, sf_dir).select("doc_id", shingles_col(F.col("text")).alias("sh"))
+    mut = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 3).select(
+        F.col("doc_id"),
+        shingles_col(
+            F.concat(F.col("text"), F.lit(" extra tail tokens"))
+        ).alias("sh_m"),
+    )
+    return d.join(mut, "doc_id").select(
+        "doc_id",
+        F.size(F.array_intersect("sh", "sh_m")).cast("long").alias("n_inter"),
+        F.size(F.array_union("sh", "sh_m")).cast("long").alias("n_union"),
+    )
+
+
+O_JACCARD_PAIRS = f"""
+WITH a AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents WHERE doc_id % 20 = 3),
+b AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh_m
+  FROM (SELECT doc_id, text || ' extra tail tokens' AS text
+        FROM documents WHERE doc_id % 20 = 3)
+)
+SELECT a.doc_id,
+       CAST(len(list_intersect(a.sh, b.sh_m)) AS BIGINT) AS n_inter,
+       CAST(len(list_distinct(list_concat(a.sh, b.sh_m))) AS BIGINT) AS n_union
+FROM a JOIN b ON a.doc_id = b.doc_id
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over a corpus with planted
+    exact duplicates, found via hyperplane-LSH buckets + cosine verify."""
+    from .operators.similarity import cosine_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.unionByName(
+        emb.filter(F.col("vec_id") % 20 == 7).select(
+            (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding"
+        )
+    )
+    pairs = cosine_near_duplicates(
+        planted, dims=64, id_col="vec_id", vec_col="embedding",
+        threshold=0.999, planes=6,
+    )
+    return pairs.select("id_a", "id_b")
+
+
+O_EMBEDDING_NEARDUP = f"""
+SELECT vec_id AS id_a, vec_id + {PLANT_OFFSET} AS id_b
+FROM embeddings WHERE vec_id % 20 = 7
+"""
+
+
 # ---------------------------------------------------------------- splits
 
 
@@ -269,6 +328,8 @@ def docs_queries() -> dict:
         "split_leakage_anti": q_split_leakage,
         "text_stats": q_text_stats,
         "ann_topk": q_ann_topk,
+        "jaccard_pairs": q_jaccard_pairs,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -282,4 +343,6 @@ def docs_oracles() -> dict:
         "split_leakage_anti": O_SPLIT_LEAKAGE,
         "text_stats": O_TEXT_STATS,
         "ann_topk": O_ANN_TOPK,
+        "jaccard_pairs": O_JACCARD_PAIRS,
+        "embedding_neardup": O_EMBEDDING_NEARDUP,
     }
