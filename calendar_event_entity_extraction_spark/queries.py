@@ -16,7 +16,9 @@ from .operators.canonicalize import canonicalize_events
 from .operators.extract import extract_events
 from .synth.oracle import (
     GOLD_FIELDS,
+    gold_dataset_analysis_sql,
     gold_entity_pool_sql,
+    gold_eval_metrics_sql,
     gold_events_sql,
     gold_location_pool_sql,
     gold_triples_sql,
@@ -122,35 +124,8 @@ def q_dataset_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_DATASET_ANALYSIS = """
-SELECT count(*) AS n_rows,
-       count(*) AS action_nonnull,
-       count(*) AS date_nonnull,
-       count(*) AS time_nonnull,
-       CAST(sum(CASE WHEN o_orderkey % 4 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS attendees_nonnull,
-       CAST(sum(CASE WHEN o_orderkey % 5 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS location_nonnull,
-       CAST(sum(CASE WHEN (o_orderkey // 11) % 6 != 0 OR o_orderkey % 6 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS duration_nonnull,
-       CAST(sum(CASE WHEN o_orderkey % 25 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS recurrence_nonnull,
-       CAST(sum(CASE WHEN o_orderkey % 40 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS notes_nonnull
-FROM orders
-"""
 
 
-O_EVAL_METRICS = """
-WITH m AS (
-  SELECT avg(CASE WHEN o_orderkey % 10 = 3 THEN 1.0 ELSE 0.0 END) AS frac,
-         count(*) AS n,
-         sum(CASE WHEN o_orderkey % 10 != 3 AND o_orderkey % 5 != 0 THEN 1 ELSE 0 END) AS loc_match_nn,
-         sum(CASE WHEN o_orderkey % 10 = 3 OR o_orderkey % 5 != 0 THEN 1 ELSE 0 END) AS loc_pred_nn
-  FROM orders
-)
-SELECT round(1.0 - frac, 6) AS exact_match,
-       round(1.0 - frac/8, 6) AS field_accuracy,
-       round(1.0 - frac, 6) AS location_accuracy,
-       round(1.0, 6) AS action_accuracy,
-       round(CAST(loc_match_nn AS DOUBLE) / loc_pred_nn, 6) AS location_precision
-FROM m
-"""
 
 
 def kg_queries() -> dict:
@@ -173,8 +148,8 @@ def kg_oracles() -> dict:
         "triples": gold_triples_sql(),
         "entity_pool_attendees": gold_entity_pool_sql(),
         "entity_pool_locations": gold_location_pool_sql(),
-        "eval_metrics": O_EVAL_METRICS,
-        "dataset_analysis": O_DATASET_ANALYSIS,
+        "eval_metrics": gold_eval_metrics_sql(),
+        "dataset_analysis": gold_dataset_analysis_sql(),
     }
     for f in GOLD_FIELDS:
         oracles[f"extract_{f}"] = gold_events_sql([f])

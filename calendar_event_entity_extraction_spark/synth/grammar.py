@@ -96,7 +96,7 @@ EPOCH = _dt.date(2024, 1, 1)
 TS_EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
 
 # bump when any formula changes — invalidates materialized fixture caches
-GRAMMAR_VERSION = 3
+GRAMMAR_VERSION = 4
 
 # pinned "now" for relative-date resolution (G3) — the reference resolves
 # against datetime.now() (faker_synth.py:294); we must not (FIXTURES.md §0)
@@ -126,6 +126,32 @@ class EventSpec:
     duration: str | None
     recurrence: str | None
     notes: str | None
+
+
+def n_turns_of(k: int) -> int:
+    return 2 + (k % 5)
+
+
+def req_turn_of(k: int) -> int:
+    return k % n_turns_of(k)
+
+
+def has_second_event(k: int) -> bool:
+    """~1/9 of conversations carry a SECOND, distinct calendar request at
+    the turn after the first — exercises multi-event extraction and proves
+    canonicalization merges only co-referent events. Mutually exclusive
+    with the echo (k%50==0) so turn placement never collides."""
+    return k % 9 == 5 and k % 50 != 0 and req_turn_of(k) + 1 < n_turns_of(k)
+
+
+def second_key(k: int) -> int:
+    """Derived grammar key for the second event. The action index is forced
+    to differ from the first event's, so the two are never co-referent and
+    the canonical event count is exactly (1 + has_second) per conversation."""
+    b = k * 131 + 17
+    if (b // 6) % 12 == (k // 6) % 12:
+        b = k * 131 + 23
+    return b
 
 
 def event_spec(k: int) -> EventSpec:
@@ -281,10 +307,13 @@ def turns_for_key(k: int):
     (conv_id, turn_idx, role, text, tool, ts)."""
     spec = event_spec(k)
     conv_id = f"conv-{k}"
+    second = event_spec(second_key(k)) if has_second_event(k) else None
     rows = []
     for j in range(spec.n_turns):
         if j == spec.req_turn or (spec.has_echo and j == spec.req_turn + 1):
             role, text, tool = "user", spec.text, None
+        elif second is not None and j == spec.req_turn + 1:
+            role, text, tool = "user", second.text, None
         else:
             role = ("assistant", "user", "tool")[(k + j) % 3]
             text = DISTRACTORS[(k + 7 * j) % 6]
@@ -292,3 +321,13 @@ def turns_for_key(k: int):
         ts = TS_EPOCH + _dt.timedelta(seconds=(k % 1_000_000) * 60 + j * 30)
         rows.append((conv_id, j, role, text, tool, ts))
     return rows
+
+
+def gold_rows_for_key(k: int):
+    """Gold (conv_id, turn_idx, 8 fields) rows — one per canonical event."""
+    conv_id = f"conv-{k}"
+    s = event_spec(k)
+    out = [(conv_id, s.req_turn, s)]
+    if has_second_event(k):
+        out.append((conv_id, s.req_turn + 1, event_spec(second_key(k))))
+    return out

@@ -2,11 +2,17 @@
 
 Mirrors :mod:`.grammar`'s modular-arithmetic formulas in plain ANSI-ish SQL
 (DuckDB dialect) over the driver's pre-registered ``orders`` view: for each
-``o_orderkey`` (= grammar key ``k``) it emits the *gold* 8 fields directly —
-no text involved. The Spark side of each correctness query instead renders
-the request text and runs the real extractor; the two agree iff the extractor
-inverts the grammar exactly. ``tests/test_synth_oracle.py`` pins this SQL to
-the Python spec.
+grammar key it emits the *gold* 8 fields directly — no text involved. The
+Spark side of each correctness query instead renders the transcript text and
+runs the real extractor; the two agree iff the extractor inverts the grammar
+exactly. ``tests/test_synth_oracle.py`` pins this SQL to the Python spec.
+
+Conversations are multi-event: the ``keys`` CTE unions the primary event key
+(``o_orderkey``) with the derived second-event key for the ~1/9 of
+conversations that carry a second request (grammar ``has_second_event`` /
+``second_key``). ``k0`` is the conversation's primary key (drives the
+perturbation flag in the eval-metrics oracle); ``k`` is the event's own
+grammar key (drives every field formula).
 """
 
 from __future__ import annotations
@@ -30,14 +36,36 @@ def _name(i: int) -> str:
     return f"({_lst(NAMES)})[1 + CAST((k*13 + {i}*7) % 20 AS INT)]"
 
 
-GOLD_CTE = f"""
-WITH f AS (
-  SELECT o_orderkey AS k,
-         CAST(o_orderkey % (2 + (o_orderkey % 5)) AS INTEGER) AS req_turn,
-         DATE '2024-01-01' + CAST((o_orderkey*37) % 730 AS INT) AS d0
+# second-event key: action index forced to differ (grammar.second_key)
+_K2 = (
+    "CASE WHEN (((k0*131+17)//6) % 12) = ((k0//6) % 12) "
+    "THEN k0*131+23 ELSE k0*131+17 END"
+)
+
+KEYS_CTE = f"""
+base AS (
+  SELECT o_orderkey AS k0,
+         CAST(o_orderkey % (2 + (o_orderkey % 5)) AS INTEGER) AS req0,
+         2 + (o_orderkey % 5) AS nt0
   FROM orders
+), keys AS (
+  SELECT k0, k0 AS k, 'conv-' || CAST(k0 AS VARCHAR) AS conv_id, req0 AS turn_idx
+  FROM base
+  UNION ALL
+  SELECT k0, {_K2} AS k, 'conv-' || CAST(k0 AS VARCHAR) AS conv_id,
+         req0 + 1 AS turn_idx
+  FROM base
+  WHERE k0 % 9 = 5 AND k0 % 50 != 0 AND req0 + 1 < nt0
+)
+"""
+
+GOLD_CTE = f"""
+WITH {KEYS_CTE}, f AS (
+  SELECT k0, k, conv_id, turn_idx,
+         DATE '2024-01-01' + CAST((k*37) % 730 AS INT) AS d0
+  FROM keys
 ), g AS (
-  SELECT k, req_turn,
+  SELECT k0, k, conv_id, turn_idx,
          day(d0) AS d, month(d0) AS m, year(d0) AS y,
          day(rd) AS rel_d, month(rd) AS rel_m, year(rd) AS rel_y,
          k % 7 AS s_date, k % 6 AS s_time, k % 4 AS n_att,
@@ -47,8 +75,9 @@ WITH f AS (
 ), gold AS (
   SELECT
     k,
-    'conv-' || CAST(k AS VARCHAR) AS conv_id,
-    req_turn AS turn_idx,
+    n_att AS n_att_raw,
+    conv_id,
+    turn_idx,
     ({_lst(ACTIONS)})[1 + CAST((k//6) % 12 AS INT)] AS action,
     CASE WHEN s_date = 1
       THEN CAST(y AS VARCHAR) || '-' || lpad(CAST(m AS VARCHAR),2,'0') || '-' || lpad(CAST(d AS VARCHAR),2,'0')
@@ -106,12 +135,7 @@ def gold_triples_sql() -> str:
         f"{i} AS obj_idx FROM gold WHERE n_att_raw >= {i + 1}"
         for i in range(3)
     )
-    # re-expose n_att inside gold for the attendee expansion
-    cte = GOLD_CTE.replace(
-        "    k,\n    'conv-'",
-        "    k,\n    n_att AS n_att_raw,\n    'conv-'",
-    )
-    return f"{cte} {scalar} UNION ALL {att}"
+    return f"{GOLD_CTE} {scalar} UNION ALL {att}"
 
 
 def gold_location_pool_sql() -> str:
@@ -129,11 +153,46 @@ def gold_entity_pool_sql() -> str:
         f"SELECT {_name(i)} AS name FROM gold WHERE n_att_raw >= {i + 1}"
         for i in range(3)
     )
-    cte = GOLD_CTE.replace(
-        "    k,\n    'conv-'",
-        "    k,\n    n_att AS n_att_raw,\n    'conv-'",
-    )
     return (
-        f"{cte}, names AS ({parts}) "
+        f"{GOLD_CTE}, names AS ({parts}) "
         "SELECT name, CAST(count(*) AS BIGINT) AS cnt FROM names GROUP BY name"
     )
+
+
+def gold_dataset_analysis_sql() -> str:
+    """Oracle for A2 analyze_dataset: per-field non-null counts over all
+    gold events (both branches of the keys CTE)."""
+    return f"""
+WITH {KEYS_CTE}
+SELECT count(*) AS n_rows,
+       count(*) AS action_nonnull,
+       count(*) AS date_nonnull,
+       count(*) AS time_nonnull,
+       CAST(sum(CASE WHEN k % 4 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS attendees_nonnull,
+       CAST(sum(CASE WHEN k % 5 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS location_nonnull,
+       CAST(sum(CASE WHEN (k // 11) % 6 != 0 OR k % 6 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS duration_nonnull,
+       CAST(sum(CASE WHEN k % 25 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS recurrence_nonnull,
+       CAST(sum(CASE WHEN k % 40 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS notes_nonnull
+FROM keys
+"""
+
+
+def gold_eval_metrics_sql() -> str:
+    """Oracle for the perturbed-prediction metrics query: the Spark side
+    clobbers pred.location on conversations with k0%10==3 (both events of
+    such conversations), so every accuracy is an exact function of the key
+    distribution."""
+    return f"""
+WITH {KEYS_CTE}, m AS (
+  SELECT avg(CASE WHEN k0 % 10 = 3 THEN 1.0 ELSE 0.0 END) AS frac,
+         sum(CASE WHEN k0 % 10 != 3 AND k % 5 != 0 THEN 1 ELSE 0 END) AS loc_match_nn,
+         sum(CASE WHEN k0 % 10 = 3 OR k % 5 != 0 THEN 1 ELSE 0 END) AS loc_pred_nn
+  FROM keys
+)
+SELECT round(1.0 - frac, 6) AS exact_match,
+       round(1.0 - frac/8, 6) AS field_accuracy,
+       round(1.0 - frac, 6) AS location_accuracy,
+       round(1.0, 6) AS action_accuracy,
+       round(CAST(loc_match_nn AS DOUBLE) / loc_pred_nn, 6) AS location_precision
+FROM m
+"""

@@ -93,17 +93,20 @@ def gold_events(keys: DataFrame) -> DataFrame:
     (null == null correct), per ``src/evaluate_finetuned.py:48-99``.
     """
 
+    from .grammar import gold_rows_for_key
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for k in pdf["k"]:
-                s = event_spec(int(k))
-                rows.append(
-                    (
-                        f"conv-{int(k)}", s.req_turn, s.action, s.date, s.time,
-                        s.attendees, s.location, s.duration, s.recurrence, s.notes,
+                for conv_id, turn, s in gold_rows_for_key(int(k)):
+                    rows.append(
+                        (
+                            conv_id, turn, s.action, s.date, s.time,
+                            s.attendees, s.location, s.duration,
+                            s.recurrence, s.notes,
+                        )
                     )
-                )
             yield pd.DataFrame(
                 rows,
                 columns=[

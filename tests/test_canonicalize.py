@@ -27,15 +27,20 @@ def test_agg_and_window_formulations_identical(spark):
 
 
 def test_echo_events_merge_to_earliest_turn(spark):
+    from calendar_event_entity_extraction_spark.synth.grammar import (
+        has_second_event,
+    )
+
     # keys with an echo: k % 50 == 0 and req_turn+1 < n_turns
     echo_keys = [k for k in range(N) if event_spec(k).has_echo]
-    assert echo_keys, "fixture must contain echo conversations"
+    second_keys = [k for k in range(N) if has_second_event(k)]
+    assert echo_keys and second_keys
     ev = extract_events(transcripts_from_keys(keys_df(spark, N)))
     canon = canonicalize_events(ev)
-    # pre-canonicalization: echo conversations have 2 detected events
+    # pre-canonicalization: echo AND second-event conversations have 2 rows
     pre = ev.groupBy("conv_id").count().filter(F.col("count") > 1)
-    assert pre.count() == len(echo_keys)
-    # post: exactly one event per conversation, at the original request turn
+    assert pre.count() == len(echo_keys) + len(second_keys)
+    # post: echoes merged to the original request turn…
     rows = {
         r["conv_id"]: r["turn_idx"]
         for r in canon.filter(
@@ -44,3 +49,8 @@ def test_echo_events_merge_to_earliest_turn(spark):
     }
     for k in echo_keys:
         assert rows[f"conv-{k}"] == event_spec(k).req_turn
+    # …while genuinely distinct second events survive canonicalization
+    kept = canon.filter(
+        F.col("conv_id").isin([f"conv-{k}" for k in second_keys])
+    )
+    assert kept.count() == 2 * len(second_keys)

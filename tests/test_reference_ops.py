@@ -152,7 +152,7 @@ def test_augment_pipeline_end_to_end(spark):
     )
     out = augment_pipeline(ev).cache()
     n = out.count()
-    assert 0 < n <= 600
+    assert 0 < n <= 700  # 600 conversations + second events
     assert set(r["split"] for r in out.select("split").distinct().collect()) <= {
         "train", "eval", "test"
     }

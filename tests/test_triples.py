@@ -21,7 +21,10 @@ def test_triples_roundtrip(spark):
             "location", "duration", "recurrence", "notes"]
     a = ev.select(cols)
     b = back.select(cols)
-    assert a.count() == b.count() == N
+    from calendar_event_entity_extraction_spark.synth.grammar import has_second_event
+
+    n_events = N + sum(1 for k in range(N) if has_second_event(k))
+    assert a.count() == b.count() == n_events
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
 
