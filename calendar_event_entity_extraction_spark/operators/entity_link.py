@@ -38,6 +38,29 @@ def salted_count(df: DataFrame, key: str, buckets: int = DEFAULT_SALT_BUCKETS) -
     return partial.groupBy(key).agg(F.sum("_pc").alias("cnt"))
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    buckets: int = DEFAULT_SALT_BUCKETS,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join when the small side is too big to broadcast and
+    the big side's key distribution is hot: the big side gets a random-ish
+    (but deterministic) salt, the small side is replicated across all salt
+    buckets, and the join runs on (key, salt) — a hot key's rows spread over
+    ``buckets`` reducers instead of one. (AQE's skew-join split handles most
+    cases; this is the explicit form for when it can't, e.g. aggregations
+    downstream of the join keyed the same way.)"""
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(buckets))
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return salted_big.join(replicated, [key, "_salt"], how).drop("_salt")
+
+
 def build_entity_pools(
     triples: DataFrame, pred: str, top_k: int = DEFAULT_TOP_K
 ) -> DataFrame:

@@ -42,6 +42,29 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return read_table(spark, path, TRANSCRIPT_SCHEMA)
 
 
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    """Schema-pinned CSV scan (never inferSchema in a pipeline — one extra
+    full pass and non-deterministic typing)."""
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """Reference S1 (read_jsonl): PERMISSIVE schema-pinned JSON scan; blank
     lines are dropped by the reader."""
