@@ -288,6 +288,35 @@ FROM t
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation: quality gate → exact dedup → hash split, over the
+    planted-duplicate corpus."""
+    from .plans.curate import curate_documents
+
+    return curate_documents(_docs_planted(spark, sf_dir))
+
+
+O_CURATION = f"""
+WITH {_PLANTED_SQL},
+q AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS_SQL}) END AS n_tok,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+  FROM planted
+),
+kept AS (
+  SELECT doc_id, text FROM q
+  WHERE n_tok >= 10 AND n_tok <= 100000 AND n_punct * 100 <= length(text) * 10
+),
+dedup AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text)
+SELECT doc_id,
+       CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 70 THEN 'train'
+            WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 85 THEN 'eval'
+            ELSE 'test' END AS split
+FROM dedup
+"""
+
+
 # ---------------------------------------------------------------- vectors
 
 
@@ -330,6 +359,7 @@ def docs_queries() -> dict:
         "ann_topk": q_ann_topk,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_neardup": q_embedding_neardup,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -345,4 +375,5 @@ def docs_oracles() -> dict:
         "ann_topk": O_ANN_TOPK,
         "jaccard_pairs": O_JACCARD_PAIRS,
         "embedding_neardup": O_EMBEDDING_NEARDUP,
+        "curation_pipeline": O_CURATION,
     }
