@@ -46,11 +46,12 @@ def test_salted_join_matches_plain_join(spark):
 
 
 def test_bucketed_join_avoids_exchange_on_bucketed_side(spark, tmp_path):
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        import re
+    import shutil
+    import uuid
 
-        db = "db_" + re.sub(r"[^A-Za-z0-9_]", "_", str(tmp_path.name))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    db = "db_bucketed_" + uuid.uuid4().hex[:8]
+    try:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
         df = spark.range(10000).select(
             F.col("id").alias("k"), (F.col("id") * 2).alias("v")
@@ -65,3 +66,6 @@ def test_bucketed_join_avoids_exchange_on_bucketed_side(spark, tmp_path):
         assert joined.count() == 10000
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.bucketed_t")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
+        shutil.rmtree(f"spark-warehouse/{db}.db", ignore_errors=True)
