@@ -1,14 +1,20 @@
 """Date / time / duration normalization as pure Column expressions.
 
-Reproduces the reference's conditional normalization semantics measured over
-its 792 raw annotations (SURVEY.md §1.2, ``augmentation/main.py:76-96``):
+The rules are the reference's EMPIRICAL annotation function, measured over
+its 792 raw rows (``data/raw/event_text_mapping.jsonl``; see SURVEY.md §1.2
+and scripts/eval_reference_corpus.py for the measurement loop):
 
-* dates → ``DD/MM/YYYY`` with *dayfirst* tie-breaking, EXCEPT ISO
-  ``YYYY-MM-DD`` which passes through verbatim;
-* times → ``H:MM AM/PM`` with no leading zero, EXCEPT 24-h ``HH:MM``
-  which passes through verbatim (leading zero kept);
-* durations copied verbatim except ``"1 hr" → "1 hour"`` and
-  ``"45mins" → "45 mins"`` (space inserted).
+* dates → ``DD/MM/YYYY`` dayfirst, EXCEPT ISO ``YYYY-MM-DD`` verbatim;
+  surface forms include ``15/10/2023``, ``2024-01-15``, ``March 5, 2024``,
+  ``Aug 9, 2024``, ``15th, Dec 2024``, ``28th Jan, 2024``,
+  ``20 - Oct - 2023``, relative keywords;
+* times with explicit am/pm → hour VERBATIM (leading zero kept), ``:MM``
+  (``:00`` if absent), upper ``AM/PM``; separators include U+202F;
+  24-h times: hour ≥ 13 verbatim, ≤ 11 + " AM", = 12 + " PM";
+* durations copied verbatim, with the corpus-majority light transforms:
+  ``Nmins→N mins``, ``Nmin→N minutes``, ``N-hour→N hours``,
+  ``N-minute→N minutes``, ``an/one hour→1 hour``, ``half an hour→30
+  minutes``, fuzzy lead-ins (about/around/roughly/a solid) stripped.
 
 Everything is JVM-side (regexp + string builtins) so it stays inside
 whole-stage codegen — no Python UDFs in the hot path.
@@ -27,25 +33,29 @@ MONTHS_3 = [m[:3] for m in MONTHS_FULL]
 MONTH_ALT = "|".join(MONTHS_FULL)
 MON3_ALT = "|".join(MONTHS_3)
 
-# date surface forms (reference generator styles, faker_synth.py:50-77);
-# day/month ranges are validated in the pattern because the reference's
-# normalize_date nulls unparseable dates (augmentation/main.py:76-84)
-_D = r"(3[01]|[12]\d|0?[1-9])"  # 1-31
-_M = r"(1[0-2]|0?[1-9])"  # 1-12
+_D = r"(3[01]|[12]\d|0?[1-9])"  # day 1-31 (validated: unparseable ⇒ null)
+_M = r"(1[0-2]|0?[1-9])"  # month 1-12
+
+# date surface forms measured over the full raw corpus
 ISO_RE = r"\b(\d{4}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))\b"
 SLASH_RE = rf"\b{_D}/{_M}/(\d{{4}})\b"
-MDY_RE = rf"\b({MONTH_ALT}) {_D}, (\d{{4}})"
-DMON_RE = rf"\b{_D}(?:st|nd|rd|th)? ({MON3_ALT})[a-z]* (\d{{4}})"
+# "March 5, 2024" / "Aug 9, 2024" / "Sept. 3 2024"
+MDY_RE = rf"\b({MON3_ALT})[a-z]*\.? {_D},? (\d{{4}})"
+# "15th, Dec 2024" / "28th Jan, 2024" / "10 May 2024"
+DMON_RE = rf"\b{_D}(?:st|nd|rd|th)?,? ({MON3_ALT})[a-z]*\.?,? ?(\d{{4}})"
+# "20 - Oct - 2023" (spaced dashes with month name)
+SPACED_RE = rf"\b{_D} ?- ?({MON3_ALT})[a-z]* ?- ?(\d{{4}})\b"
 DASH_RE = rf"\b{_D}-{_M}-(\d{{4}})\b"
 
-# time surface forms (faker_synth.py:80-97)
-T_AMPM_RE = r"\b(\d{1,2}):([0-5]\d) ?([apAP][mM])\b"
-T_24_RE = r"\b([01]?\d|2[0-3]):[0-5]\d\b(?! ?[apAP][mM])"
-T_HAMPM_RE = r"\b(\d{1,2}) ?([apAP][mM])\b"
+# time surface forms; U+202F narrow no-break space appears in the raw data
+_SEP = "[\\s ]*"
+T_AMPM_RE = rf"\b(\d{{1,2}})(?::([0-5]\d))?{_SEP}([apAP])\.?[mM]\b"
+T_24_RE = rf"\b(?:[01]?\d|2[0-3]):[0-5]\d\b(?!{_SEP}[apAP]\.?[mM])"
 
 DUR_RE = (
-    r"\b(?:for|lasting) "
-    r"((?:\d+(?:\.\d+)? ?|a few )(?:minutes|mins|minute|min|hours|hour|hrs|hr)\b)"
+    r"(?i)\b((?:about |around |roughly |a solid |~ ?)?"
+    r"(?:a few |a couple (?:of )?|an? |one[- ]|half an? |\d+(?:\.\d+)? ?|\d+)-?"
+    r"(?:hours?|hrs?|hr|minutes?|mins?|min|h|m)\b(?: and a half)?)"
 )
 
 # relative-date phrases (G3) resolved against a pinned reference "today" —
@@ -77,26 +87,40 @@ def _split_dmy(match: Column, sep: str) -> Column:
     return _dmy(F.element_at(p, 1), F.element_at(p, 2), F.element_at(p, 3))
 
 
+def _g(text: Column, pat: str, i: int) -> Column:
+    return _ne(F.regexp_extract(text, pat, i))
+
+
 def date_norm_col(text: Column, ref_today: str = DEFAULT_REF_TODAY) -> Column:
     """First date mention → normalized gold form (null if none).
 
     The style cascade is gated behind one cheap guard regex: rows with no
-    digit / relative keyword (most transcript turns) skip all six styles.
+    digit / relative keyword (most transcript turns) skip all styles.
     Lazy coalesce short-circuits matched rows.
     """
-    iso = _ne(F.regexp_extract(text, ISO_RE, 1))  # verbatim passthrough
-    slash = _split_dmy(_ne(F.regexp_extract(text, SLASH_RE, 0)), "/")
-    mdy_m = F.split(_ne(F.regexp_extract(text, MDY_RE, 0)), " ")
-    mdy = _dmy(
-        F.regexp_replace(F.element_at(mdy_m, 2), ",", ""),
-        _month_num(F.substring(F.element_at(mdy_m, 1), 1, 3)),
-        F.element_at(mdy_m, 3),
+    iso_raw = _g(text, ISO_RE, 1)
+    iso_parts = F.split(iso_raw, "-")
+    iso_conv = _dmy(
+        F.element_at(iso_parts, 3), F.element_at(iso_parts, 2), F.element_at(iso_parts, 1)
     )
-    dmon_m = F.split(_ne(F.regexp_extract(text, DMON_RE, 0)), " ")
+    # corpus rule: a text-leading ISO date converts to DD/MM/YYYY (37:2);
+    # mid-text ISO stays verbatim (89:29)
+    iso = F.when(text.rlike(r"^\d{4}-\d{2}-\d{2}\b"), iso_conv).otherwise(iso_raw)
+    slash = _split_dmy(_ne(F.regexp_extract(text, SLASH_RE, 0)), "/")
+    mdy = _dmy(
+        _g(text, MDY_RE, 2),
+        _month_num(F.substring(_g(text, MDY_RE, 1), 1, 3)),
+        _g(text, MDY_RE, 3),
+    )
     dmon = _dmy(
-        F.regexp_replace(F.element_at(dmon_m, 1), "[a-z]+", ""),
-        _month_num(F.substring(F.element_at(dmon_m, 2), 1, 3)),
-        F.element_at(dmon_m, 3),
+        _g(text, DMON_RE, 1),
+        _month_num(_g(text, DMON_RE, 2)),
+        _g(text, DMON_RE, 3),
+    )
+    spaced = _dmy(
+        _g(text, SPACED_RE, 1),
+        _month_num(_g(text, SPACED_RE, 2)),
+        _g(text, SPACED_RE, 3),
     )
     # dayfirst: "5-4-2024" → 05/04/2024
     dash = _split_dmy(_ne(F.regexp_extract(text, DASH_RE, 0)), "-")
@@ -113,34 +137,30 @@ def date_norm_col(text: Column, ref_today: str = DEFAULT_REF_TODAY) -> Column:
     rel = F.when(rel_phrase.isNotNull(), F.date_format(rel_date, "dd/MM/yyyy"))
     return F.when(
         text.rlike(r"[0-9]|today|tomorrow"),
-        F.coalesce(iso, slash, mdy, dmon, dash, rel),
+        F.coalesce(iso, slash, spaced, mdy, dmon, dash, rel),
     )
 
 
 def time_norm_col(text: Column) -> Column:
-    """First time mention → normalized gold form (null if none). Same
-    guard + group-0-and-split strategy as date_norm_col."""
-    # one scan of the long text; sub-part regexes run on the ≤9-char match
-    m1 = _ne(F.regexp_extract(text, T_AMPM_RE, 0))
-    t_ampm = F.concat(
-        F.regexp_extract(m1, r"^\d{1,2}", 0).cast("int").cast("string"),
-        F.lit(":"),
-        F.regexp_extract(m1, r":(\d\d)", 1),
-        F.lit(" "),
-        F.upper(F.regexp_extract(m1, r"[apAP][mM]$", 0)),
+    """First time mention → normalized gold form (null if none)."""
+    # explicit am/pm: hour verbatim (leading zero preserved, per corpus)
+    h = _g(text, T_AMPM_RE, 1)
+    mm = F.coalesce(_ne(F.regexp_extract(text, T_AMPM_RE, 2)), F.lit("00"))
+    ap = F.upper(F.concat(F.regexp_extract(text, T_AMPM_RE, 3), F.lit("m")))
+    t_ampm = F.concat(h, F.lit(":"), mm, F.lit(" "), ap)
+
+    # 24-h with no am/pm: >=13 verbatim; <=11 + " AM"; ==12 + " PM"
+    m24 = _ne(F.regexp_extract(text, T_24_RE, 0))
+    h24 = F.split(m24, ":").getItem(0).cast("int")
+    t_24 = F.when(h24 >= 13, m24).when(h24 == 12, F.concat(m24, F.lit(" PM"))).otherwise(
+        F.concat(m24, F.lit(" AM"))
     )
-    t_24 = _ne(F.regexp_extract(text, T_24_RE, 0))  # verbatim passthrough
-    m2 = _ne(F.regexp_extract(text, T_HAMPM_RE, 0))
-    t_h = F.concat(
-        F.regexp_replace(m2, "[^0-9]", "").cast("int").cast("string"),
-        F.lit(":00 "),
-        F.upper(F.regexp_replace(m2, "[^apmAPM]", "")),
-    )
+
     noon = F.when(text.rlike(r"\bnoon\b"), F.lit("12:00 PM"))
     midnight = F.when(text.rlike(r"\bmidnight\b"), F.lit("12:00 AM"))
     return F.when(
         text.rlike(r"[0-9]|noon|midnight"),
-        F.coalesce(t_ampm, t_24, t_h, noon, midnight),
+        F.coalesce(t_ampm, t_24, noon, midnight),
     )
 
 
@@ -172,11 +192,25 @@ def range_duration_col(text: Column) -> Column:
     )
 
 
+# corpus-majority duration transforms, applied in order
+_DUR_TRANSFORMS = [
+    (r"(?i)^(?:about|around|roughly|a solid|~) ?", ""),
+    (r"(?i)^half an? hour$", "30 minutes"),
+    (r"(?i)^(?:an?|one) hour and a half$", "1 hour 30 minutes"),
+    (r"(?i)^(?:an?|one) hour$", "1 hour"),
+    (r"(?i)^hour$", "1 hour"),
+    (r"(\d)mins\b", "$1 mins"),
+    (r"(\d) ?min\b", "$1 minutes"),
+    (r"(\d)-hour\b", "$1 hours"),
+    (r"(\d)-minute\b", "$1 minutes"),
+]
+
+
 def duration_norm_col(text: Column) -> Column:
-    """Duration phrase after for/lasting, with the reference's two light
-    normalizations applied (everything else verbatim); falls back to the
-    range-derived duration when no explicit phrase exists."""
+    """Duration phrase (with or without a for/lasting intro), corpus
+    transforms applied; falls back to the range-derived duration."""
     raw = _ne(F.regexp_extract(text, DUR_RE, 1))
-    spaced = F.regexp_replace(raw, r"(\d)(mins\b)", r"$1 $2")
-    explicit = F.regexp_replace(spaced, r"\bhr\b", "hour")
-    return F.coalesce(explicit, range_duration_col(text))
+    out = raw
+    for pat, repl in _DUR_TRANSFORMS:
+        out = F.regexp_replace(out, pat, repl)
+    return F.coalesce(out, range_duration_col(text))
