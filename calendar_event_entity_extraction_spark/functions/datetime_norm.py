@@ -32,6 +32,9 @@ MONTHS_FULL = [
 MONTHS_3 = [m[:3] for m in MONTHS_FULL]
 MONTH_ALT = "|".join(MONTHS_FULL)
 MON3_ALT = "|".join(MONTHS_3)
+# exact month words (full names first, then abbrevs incl. "Sept") — partial
+# prefix matches like "Mar(y)" or "Mar(keting)" must never count as months
+MONTH_WORD = "(?:" + "|".join(MONTHS_FULL + ["Sept"] + MONTHS_3) + ")"
 
 _D = r"(3[01]|[12]\d|0?[1-9])"  # day 1-31 (validated: unparseable ⇒ null)
 _M = r"(1[0-2]|0?[1-9])"  # month 1-12
@@ -40,11 +43,11 @@ _M = r"(1[0-2]|0?[1-9])"  # month 1-12
 ISO_RE = r"\b(\d{4}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))\b"
 SLASH_RE = rf"\b{_D}/{_M}/(\d{{4}})\b"
 # "March 5, 2024" / "Aug 9, 2024" / "Sept. 3 2024"
-MDY_RE = rf"\b({MON3_ALT})[a-z]*\.? {_D},? (\d{{4}})"
+MDY_RE = rf"\b({MONTH_WORD})\.? {_D},? (\d{{4}})"
 # "15th, Dec 2024" / "28th Jan, 2024" / "10 May 2024"
-DMON_RE = rf"\b{_D}(?:st|nd|rd|th)?,? ({MON3_ALT})[a-z]*\.?,? ?(\d{{4}})"
+DMON_RE = rf"\b{_D}(?:st|nd|rd|th)?,? ({MONTH_WORD})\.?,? ?(\d{{4}})"
 # "20 - Oct - 2023" (spaced dashes with month name)
-SPACED_RE = rf"\b{_D} ?- ?({MON3_ALT})[a-z]* ?- ?(\d{{4}})\b"
+SPACED_RE = rf"\b{_D} ?- ?({MONTH_WORD}) ?- ?(\d{{4}})\b"
 DASH_RE = rf"\b{_D}-{_M}-(\d{{4}})\b"
 
 # time surface forms; U+202F narrow no-break space appears in the raw data
@@ -114,12 +117,12 @@ def date_norm_col(text: Column, ref_today: str = DEFAULT_REF_TODAY) -> Column:
     )
     dmon = _dmy(
         _g(text, DMON_RE, 1),
-        _month_num(_g(text, DMON_RE, 2)),
+        _month_num(F.substring(_g(text, DMON_RE, 2), 1, 3)),
         _g(text, DMON_RE, 3),
     )
     spaced = _dmy(
         _g(text, SPACED_RE, 1),
-        _month_num(_g(text, SPACED_RE, 2)),
+        _month_num(F.substring(_g(text, SPACED_RE, 2), 1, 3)),
         _g(text, SPACED_RE, 3),
     )
     # dayfirst: "5-4-2024" → 05/04/2024

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.datetime_norm import (
     MON3_ALT,
+    MONTH_WORD,
     date_norm_col,
     duration_norm_col,
     time_norm_col,
@@ -50,24 +51,25 @@ NAME = r"[A-Z][a-z]+"
 _STOP = (
     r" with | w/ | at | in | from | for | lasting | via | over | using "
     r"| planned | arranged | to |, [a-z0-9]|,? \d|,\d| on (?=\d|the |today|tomorrow)"
-    rf"| on (?:{MON3_ALT})[a-z]*(?=\.?,? ?\d)"
+    rf"| on {MONTH_WORD}(?=\.?,? ?\d)"
     r"| (?:on|via|over|using) (?=(?:Zoom|Google Meet|Microsoft Teams|Teams|Skype|Webex)\b)"
     r"|\.|$"
 )
-_MONTH_STOP = rf"| (?:{MON3_ALT})[a-z]*\.?,? ?\d| (?:today|tomorrow|day after)\b"
+_MONTH_STOP = rf"| {MONTH_WORD}\.?,? ?\d| (?:today|tomorrow|day after)\b"
 
 # attendee phrase: after with / w/ / together with, up to a clause marker or
 # a bare medium mention; joiners: ", and" ", " " and " " & " " + "
 _ATT_STOP = (
     r"(?= on | at | in | from | for | lasting | via | over | using "
     r"| (?:Zoom|Google Meet|Microsoft Teams|Microsoft|Teams|Skype|Webex)\b"
-    rf"| (?:{MON3_ALT})[a-z]*\.?,? ?\d"
-    r"|,? ?\d|[.(]|$)"
+    rf"| {MONTH_WORD}\.?,? ?\d"
+    r"|, (?!and )[a-z]|,? ?\d|[.(]|$)"
 )
 WITH_RE = rf"\b(?:together with|with|w/) (.+?){_ATT_STOP}"
 # bare name LIST: a comma-joined chain of ≥2 Capitalized names (a lone bare
 # token could equally be a location, so singles need the name pool)
-BARE_RE = rf"({NAME}(?:, {NAME})+(?:,? and {NAME})?)\b(?! ?\d)"
+NAME_NM = rf"(?!{MONTH_WORD} \d)[A-Z][a-z]+"
+BARE_RE = rf"({NAME_NM}(?:, {NAME_NM})+(?:,? and {NAME_NM})?)\b"
 
 # location: at/in [the] X (gold drops the article, 100:8 in the corpus)
 _LOC_STOP = r"(?= for | lasting | on | at | with | w/ | from |\.|, ?[a-z0-9]|,?$|,? ?\d)"
@@ -99,7 +101,7 @@ def action_col(text: Column, name_pool: list[str] | None = None) -> Column:
     # brainstorming …" → action "brainstorming")
     lead = (
         r"^(?:(?:\d{4}-\d{2}-\d{2}|\d{1,2}:[0-5]\d|\d{1,2}/[0-9/]+|\d{1,2}[apAP]\.?[mM],?|\d{1,2}(?:st|nd|rd|th)?,?"
-        rf"|(?:{MON3_ALT})[a-z]*\.?,?(?=[\s ]+\d)|\d{{4}},?|[apAP]\.?[mM],?)[\s ]+)*"
+        rf"|{MONTH_WORD}\.?,?(?=[\s ]+\d)|\d{{4}},?|[apAP]\.?[mM],?)[\s ]+)*"
     )
     stripped = F.regexp_replace(text, lead, "")
     pat = ACTION_RE
