@@ -57,7 +57,7 @@ T_24_RE = rf"\b(?:[01]?\d|2[0-3]):[0-5]\d\b(?!{_SEP}[apAP]\.?[mM])"
 
 DUR_RE = (
     r"(?i)\b((?:about |around |roughly |a solid |~ ?)?"
-    r"(?:a few |a couple (?:of )?|an? |one[- ]|half an? |\d+(?:\.\d+)? ?|\d+)-?"
+    r"(?:a few |a couple (?:of )?|an? |one[- ]|half an? |\d+(?:\.\d+)? ?|\d+)?-?"
     r"(?:hours?|hrs?|hr|minutes?|mins?|min|h|m)\b(?: and a half)?)"
 )
 
@@ -200,7 +200,7 @@ _DUR_TRANSFORMS = [
     (r"(?i)^(?:about|around|roughly|a solid|~) ?", ""),
     (r"(?i)^half an? hour$", "30 minutes"),
     (r"(?i)^(?:an?|one) hour and a half$", "1 hour 30 minutes"),
-    (r"(?i)^(?:an?|one) hour$", "1 hour"),
+    (r"(?i)^(?:an?|one)[- ]hour$", "1 hour"),
     (r"(?i)^hour$", "1 hour"),
     (r"(\d)mins\b", "$1 mins"),
     (r"(\d) ?min\b", "$1 minutes"),

@@ -72,7 +72,11 @@ NAME_NM = rf"(?!{MONTH_WORD} \d)[A-Z][a-z]+"
 BARE_RE = rf"({NAME_NM}(?:, {NAME_NM})+(?:,? and {NAME_NM})?)\b"
 
 # location: at/in [the] X (gold drops the article, 100:8 in the corpus)
-_LOC_STOP = r"(?= for | lasting | on | at | with | w/ | from |\.|, ?[a-z0-9]|,?$|,? ?\d)"
+_LOC_STOP = (
+    r"(?= for | lasting | on | at | with | w/ | from |\.|, ?[a-z]|,?$"
+    r"|,? ?\d+[:/]|,? ?\d{4}"
+    r"|,? ?\d+ ?-?(?:[apAP]\.?[mM]|hours?|hrs?|hr|minutes?|mins?|min|h\b|m\b))"
+)
 PHYS_LOC_RE = (
     rf"(?<![\w-])(?:at|in) (?:the )?(?!\d|noon\b|time\b)"
     rf"([A-Za-z][A-Za-z0-9\u00c0-\u00ff'\u2019& ,-]*?){_LOC_STOP}"
@@ -115,7 +119,7 @@ def action_col(text: Column, name_pool: list[str] | None = None) -> Column:
     # gold expands "mtg" → "meeting" when followed by an attendee clause,
     # keeps it when followed by a date (measured 10 vs 49 overall; the
     # expansion cluster is the name-following one)
-    expand = text.rlike(r"\bmtg (?:w/|[A-Z][a-z]+ )")
+    expand = text.rlike(rf"\bmtg (?:w/|(?!{MONTH_WORD})[A-Z][a-z]+ )")
     return F.when(expand, F.regexp_replace(raw, r"\bmtg\b", "meeting")).otherwise(raw)
 
 
@@ -147,9 +151,10 @@ def location_col(
     "at/in [the] X" phrase (article dropped), else a bare dictionary
     location after a time mention."""
     med_alt = "|".join(mediums or DEFAULT_MEDIUMS)
+    med_intro_alt = "|".join((mediums or DEFAULT_MEDIUMS) + ["Slack", "Meet"])
     med = _ne(
         F.regexp_extract(
-            text, rf"\b(?:hosted on|on|via|over|using) ({med_alt})\b", 1
+            text, rf"\b(?:hosted on|on|via|over|using) ({med_intro_alt})\b", 1
         )
     )
     phys = _ne(F.regexp_extract(text, PHYS_LOC_RE, 1))
@@ -160,7 +165,7 @@ def location_col(
         F.regexp_extract(
             text,
             r"(?:[apAP]\.?[mM]|\d)[\s ]+(?!Meet |Call |Review |Discuss )"
-            r"([A-Z][a-z]+(?: [A-Z][A-Za-z0-9]*)+)\b(?! ?\d)(?!,)",
+            r"([A-Z][a-z-]+(?: [A-Z][A-Za-z0-9]*)+)\b(?! ?\d)(?!,)",
             1,
         )
     )
@@ -204,7 +209,16 @@ def recurrence_col(text: Column) -> Column:
 
 
 def notes_col(text: Column) -> Column:
-    return _ne(F.regexp_extract(text, NOTE_RE, 1))
+    explicit = _ne(F.regexp_extract(text, NOTE_RE, 1))
+    # "Meet X at Y for <activity>, <duration>" → notes = activity (corpus)
+    activity = _ne(
+        F.regexp_extract(
+            text,
+            r"\bMeet [A-Z][a-z]+ at [^,]+ (?:for |to )((?:to )?[a-z][^,.]*?)(?=, ?\d|\.$)",
+            1,
+        )
+    )
+    return F.coalesce(explicit, activity)
 
 
 def build_lexicons(corpus_texts: DataFrame, text_col: str = "text", top_k: int = 500):

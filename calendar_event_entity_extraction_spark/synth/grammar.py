@@ -60,7 +60,7 @@ PHYS_PREPS = ["at", "in"]
 DUR_PAIRS = [
     ("45 minutes", "45 minutes"),
     ("1 hour", "1 hour"),
-    ("1 hr", "1 hour"),
+    ("1 hr", "1 hr"),
     ("30 mins", "30 mins"),
     ("45mins", "45 mins"),
     ("2 hours", "2 hours"),
@@ -96,7 +96,7 @@ EPOCH = _dt.date(2024, 1, 1)
 TS_EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
 
 # bump when any formula changes — invalidates materialized fixture caches
-GRAMMAR_VERSION = 4
+GRAMMAR_VERSION = 5
 
 # pinned "now" for relative-date resolution (G3) — the reference resolves
 # against datetime.now() (faker_synth.py:294); we must not (FIXTURES.md §0)
@@ -204,9 +204,13 @@ def event_spec(k: int) -> EventSpec:
     elif s_time == 2:
         time_text = f"{h12}:{mm:02d} {ap}"
         gold_time = time_text
-    elif s_time == 3:  # 24-h passthrough (reference keeps verbatim, §1.2)
+    elif s_time == 3:  # 24-h: >=13 verbatim; <12 " AM"; ==12 " PM" (corpus)
         time_text = f"{h24:02d}:{mm:02d}"
-        gold_time = time_text
+        gold_time = (
+            time_text if h24 >= 13
+            else f"{time_text} PM" if h24 == 12
+            else f"{time_text} AM"
+        )
     elif s_time == 4:
         time_text = "noon"
         gold_time = "12:00 PM"
@@ -239,8 +243,10 @@ def event_spec(k: int) -> EventSpec:
             att_clause = f" with {lst}"
         elif s_att == 1:
             att_clause = " w/ " + " & ".join(names)
-        else:  # bare post-time list (reference: ~41 raw rows)
+        elif n_att >= 2:  # bare post-time list (reference: ~41 raw rows)
             att_clause = " " + ", ".join(names)
+        else:  # a single bare name is ambiguous without a pool — use "with"
+            att_clause = f" with {names[0]}"
     gold_att = names or None
 
     # ---- location
@@ -253,7 +259,9 @@ def event_spec(k: int) -> EventSpec:
         else:
             loc = LOC_PHYS[(k // 10) % 8]
             prep = PHYS_PREPS[(k // 2) % 2]
-            loc_clause, gold_loc = f" {prep} {loc}", loc
+            loc_clause = f" {prep} {loc}"
+            # gold drops the leading article (reference corpus 100:8)
+            gold_loc = loc[4:] if loc.startswith("the ") else loc
 
     # ---- duration (G4: derived from the time range when absent)
     dur_clause, gold_dur = "", None
@@ -264,11 +272,14 @@ def event_spec(k: int) -> EventSpec:
     elif range_delta is not None:
         gold_dur = f"{range_delta} minutes"
 
-    # ---- recurrence (rare; keyword prefixed, casing preserved)
+    # ---- recurrence (rare; keyword prefixed). The keyword stays part of
+    # the gold action (corpus: always kept); the recurrence field lowercases
+    # a sentence-initial "Weekly" (corpus majority).
     rec_prefix, gold_rec = "", None
     if k % 25 == 0:
-        gold_rec = REC_KWS[(k // 25) % 8]
-        rec_prefix = gold_rec + " "
+        kw = REC_KWS[(k // 25) % 8]
+        rec_prefix = kw + " "
+        gold_rec = "weekly" if kw == "Weekly" else kw
 
     # ---- notes (rare)
     note_clause, gold_note = ".", None
@@ -278,8 +289,14 @@ def event_spec(k: int) -> EventSpec:
 
     action = ACTIONS[(k // 6) % 12]
     action_text = action
-    if k % 10 == 4:  # P9 noise: "meeting"→"mtg" in text; gold keeps "meeting"
+    if k % 10 == 4:
+        # P9 noise: "meeting"→"mtg"; gold keeps "mtg" here because the next
+        # token is a date (the corpus expands only before attendee clauses)
         action_text = action.replace("meeting", "mtg")
+        action = action_text
+    if rec_prefix:
+        # the text renders rec_prefix separately; gold action includes it
+        action = f"{rec_prefix}{action}"
     date_intro = " " if s_date == 6 else (" on " if (k // 9) % 2 == 0 else " ")
     time_intro = " " if s_time == 5 else TIME_INTROS[(k // 21) % 3]
 

@@ -36,6 +36,12 @@ def _name(i: int) -> str:
     return f"({_lst(NAMES)})[1 + CAST((k*13 + {i}*7) % 20 AS INT)]"
 
 
+# v5 gold semantics: location drops the article; sentence-initial "Weekly"
+# lowercases in the recurrence field
+LOC_GOLD = [x[4:] if x.startswith("the ") else x for x in LOC_PHYS]
+REC_GOLD = ["weekly" if x == "Weekly" else x for x in REC_KWS]
+
+
 # second-event key: action index forced to differ (grammar.second_key)
 _K2 = (
     "CASE WHEN (((k0*131+17)//6) % 12) = ((k0//6) % 12) "
@@ -78,7 +84,11 @@ WITH {KEYS_CTE}, f AS (
     n_att AS n_att_raw,
     conv_id,
     turn_idx,
-    ({_lst(ACTIONS)})[1 + CAST((k//6) % 12 AS INT)] AS action,
+    (CASE WHEN k % 25 = 0
+          THEN ({_lst(REC_KWS)})[1 + CAST((k//25) % 8 AS INT)] || ' ' ELSE '' END)
+      || (CASE WHEN k % 10 = 4
+               THEN replace(({_lst(ACTIONS)})[1 + CAST((k//6) % 12 AS INT)], 'meeting', 'mtg')
+               ELSE ({_lst(ACTIONS)})[1 + CAST((k//6) % 12 AS INT)] END) AS action,
     CASE WHEN s_date = 1
       THEN CAST(y AS VARCHAR) || '-' || lpad(CAST(m AS VARCHAR),2,'0') || '-' || lpad(CAST(d AS VARCHAR),2,'0')
       WHEN s_date = 6
@@ -87,6 +97,7 @@ WITH {KEYS_CTE}, f AS (
     END AS date,
     CASE WHEN s_time = 3
       THEN lpad(CAST(h24 AS VARCHAR),2,'0') || ':' || lpad(CAST(mm AS VARCHAR),2,'0')
+           || (CASE WHEN h24 >= 13 THEN '' WHEN h24 = 12 THEN ' PM' ELSE ' AM' END)
       ELSE CAST(((h24+11) % 12) + 1 AS VARCHAR) || ':' || lpad(CAST(mm AS VARCHAR),2,'0')
            || ' ' || (CASE WHEN h24 < 12 THEN 'AM' ELSE 'PM' END)
     END AS time,
@@ -97,7 +108,7 @@ WITH {KEYS_CTE}, f AS (
     END AS attendees,
     CASE WHEN k % 5 = 0 THEN NULL
          WHEN (k//5) % 2 = 0 THEN ({_lst(MEDIUMS)})[1 + CAST((k//10) % 6 AS INT)]
-         ELSE ({_lst(LOC_PHYS)})[1 + CAST((k//10) % 8 AS INT)]
+         ELSE ({_lst(LOC_GOLD)})[1 + CAST((k//10) % 8 AS INT)]
     END AS location,
     CASE WHEN (k//11) % 6 != 0
            THEN ({_lst([g for _, g in DUR_PAIRS])})[1 + CAST((k//13) % 8 AS INT)]
@@ -105,7 +116,7 @@ WITH {KEYS_CTE}, f AS (
            THEN CAST(30*((k//29) % 4 + 1) AS VARCHAR) || ' minutes'
          ELSE NULL
     END AS duration,
-    CASE WHEN k % 25 = 0 THEN ({_lst(REC_KWS)})[1 + CAST((k//25) % 8 AS INT)] ELSE NULL END AS recurrence,
+    CASE WHEN k % 25 = 0 THEN ({_lst(REC_GOLD)})[1 + CAST((k//25) % 8 AS INT)] ELSE NULL END AS recurrence,
     CASE WHEN k % 40 = 0 THEN ({_lst(NOTES)})[1 + CAST((k//40) % 4 AS INT)] ELSE NULL END AS notes
   FROM g
 )

@@ -33,9 +33,12 @@ def test_date_norm_every_valid_date_all_styles(spark):
             iso = f"2024-{m:02d}-{d:02d}"
             rows += [
                 (f"{d:02d}/{m:02d}/2024", ddmm),
-                (iso, iso),  # ISO passthrough
+                (iso, ddmm),  # text-leading ISO converts (corpus 37:2)
+                (f"x {iso} y", iso),  # mid-text ISO verbatim (corpus 89:29)
                 (f"{MONTHS_FULL[m-1]} {d}, 2024", ddmm),
                 (f"{d}{_ord(d)} {MONTHS_FULL[m-1]} 2024", ddmm),
+                (f"{d}th, {MONTHS_ABBR[m-1]} 2024", ddmm),  # ordinal-comma-abbr
+                (f"{d} - {MONTHS_ABBR[m-1]} - 2024", ddmm),  # spaced dash
                 (f"{d} {MONTHS_ABBR[m-1]} 2024", ddmm),
                 (f"{d}-{m}-2024", ddmm),
             ]
@@ -49,11 +52,13 @@ def test_time_norm_full_grid(spark):
     for h24 in range(24):
         h12 = ((h24 + 11) % 12) + 1
         ap = "AM" if h24 < 12 else "PM"
+        t24_suffix = "" if h24 >= 13 else (" PM" if h24 == 12 else " AM")
         for mm in range(0, 60, 7):
             rows += [
                 (f"{h12}:{mm:02d} {ap.lower()}", f"{h12}:{mm:02d} {ap}"),
                 (f"{h12}:{mm:02d} {ap}", f"{h12}:{mm:02d} {ap}"),
-                (f"{h24:02d}:{mm:02d}", f"{h24:02d}:{mm:02d}"),  # 24-h verbatim
+                # 24-h: >=13 verbatim, <12 " AM", ==12 " PM" (corpus rule)
+                (f"{h24:02d}:{mm:02d}", f"{h24:02d}:{mm:02d}{t24_suffix}"),
             ]
         rows.append((f"{h12}{ap.lower()}", f"{h12}:00 {ap}"))
     rows.append(("noon", "12:00 PM"))
@@ -67,9 +72,11 @@ def test_duration_norm_reference_forms(spark):
     cases = [
         ("for 45 minutes", "45 minutes"),
         ("for 1 hour", "1 hour"),
-        ("for 1 hr", "1 hour"),
+        ("for 1 hr", "1 hr"),  # verbatim, corpus majority
         ("lasting 30 mins", "30 mins"),
         ("for 45mins", "45 mins"),
+        ("for half an hour", "30 minutes"),
+        ("for an hour", "1 hour"),
         ("for 1.5hrs", "1.5hrs"),  # kept verbatim (reference §1.2)
         ("for a few hours", "a few hours"),
         ("lasting 90 minutes", "90 minutes"),
