@@ -14,11 +14,12 @@ in three independent implementations that the test-suite pins together:
 
 Surface forms mirror the reference's generator grammar
 (``augmentation/faker_synth.py:50-97`` date/time styles,
-``:126-178`` duration/attendee/location/recurrence phrases) and the measured
-raw-annotation semantics in SURVEY.md §1.2: ISO dates and 24-h times pass
-through verbatim; other dates normalize to DD/MM/YYYY (dayfirst); times to
-``H:MM AM/PM`` with no leading zero; ``"1 hr"→"1 hour"``,
-``"45mins"→"45 mins"``; everything else is copied verbatim from the text.
+``:126-178`` duration/attendee/location/recurrence phrases) and the
+annotation function measured over its 792 raw rows (see
+``scripts/eval_reference_corpus.py``): mid-text ISO dates stay verbatim,
+text-leading ones convert; 24-h times gain AM/PM below 13:00; durations are
+verbatim except ``Nmins→N mins`` / ``Nmin→N minutes``; locations drop a
+leading article; the recurrence keyword stays part of the action.
 """
 
 from __future__ import annotations
