@@ -55,8 +55,9 @@ _SEP = "[\\s ]*"
 T_AMPM_RE = rf"\b(\d{{1,2}})(?::([0-5]\d))?{_SEP}([apAP])\.?[mM]\b"
 T_24_RE = rf"\b(?:[01]?\d|2[0-3]):[0-5]\d\b(?!{_SEP}[apAP]\.?[mM])"
 
+# lowercase-only (no (?i)): "w/ HR 30min" must not match unit "hr" on "HR"
 DUR_RE = (
-    r"(?i)\b((?:about |around |roughly |a solid |~ ?)?"
+    r"\b((?:about |around |roughly |a solid |~ ?)?"
     r"(?:a few |a couple (?:of )?|an? |one[- ]|half an? |\d+(?:\.\d+)? ?|\d+)?-?"
     r"(?:hours?|hrs?|hr|minutes?|mins?|min|h|m)\b(?: and a half)?)"
 )

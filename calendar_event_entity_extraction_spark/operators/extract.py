@@ -61,6 +61,7 @@ _MONTH_STOP = rf"| {MONTH_WORD}\.?,? ?\d| (?:today|tomorrow|day after)\b"
 # a bare medium mention; joiners: ", and" ", " " and " " & " " + "
 _ATT_STOP = (
     r"(?= on | at | in | from | for | lasting | via | over | using "
+    r"| planned | arranged | hosted "
     r"| (?:Zoom|Google Meet|Microsoft Teams|Microsoft|Teams|Skype|Webex)\b"
     rf"| {MONTH_WORD}\.?,? ?\d"
     r"|, (?!and )[a-z]|,? ?\d|[.(]|$)"
@@ -136,7 +137,9 @@ def attendees_col(text: Column, name_pool: list[str] | None = None) -> Column:
         bare_single = rf"(?:[apAP]\.?[mM][\s ]+|^Meet |\bMeet )({alt})\b"
         phrase = F.coalesce(phrase, _ne(F.regexp_extract(text, bare_single, 1)))
     arr = F.split(F.regexp_replace(phrase, r"(, and |, | and | & | \+ )", "|"), r"\|")
-    arr = F.filter(arr, lambda x: F.trim(x) != "")
+    arr = F.transform(
+        F.filter(arr, lambda x: F.trim(x) != ""), lambda x: F.trim(x)
+    )
     return F.when(phrase.isNotNull() & (F.size(arr) > 0), arr)
 
 
