@@ -156,11 +156,17 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy: exact intersect/union sizes of the 3-gram shingle sets."""
     from .operators.dedup import shingles_col
 
-    d = _docs(spark, sf_dir).select("doc_id", shingles_col(F.col("text")).alias("sh"))
+    # coalesce to empty arrays: a doc under 3 tokens yields null shingles in
+    # Spark but an empty list in the DuckDB oracle — sizes must agree as 0
+    empty = F.array().cast("array<string>")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(shingles_col(F.col("text")), empty).alias("sh")
+    )
     mut = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 3).select(
         F.col("doc_id"),
-        shingles_col(
-            F.concat(F.col("text"), F.lit(" extra tail tokens"))
+        F.coalesce(
+            shingles_col(F.concat(F.col("text"), F.lit(" extra tail tokens"))),
+            empty,
         ).alias("sh_m"),
     )
     return d.join(mut, "doc_id").select(
@@ -199,7 +205,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = cosine_near_duplicates(
         planted, dims=64, id_col="vec_id", vec_col="embedding",
-        threshold=0.999, planes=6,
+        threshold=0.999, bands=2, planes_per_band=8,
     )
     return pairs.select("id_a", "id_b")
 
@@ -336,8 +342,55 @@ s AS (
   FROM q, embeddings e WHERE e.vec_id != q.query_id
 ),
 r AS (
+  -- rank on round(cos, 9) exactly like the Spark side: near-tied neighbors
+  -- must fall to the id tie-break identically in both engines
   SELECT query_id, neighbor_id,
-         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 9) DESC, neighbor_id) AS BIGINT) AS rank
+  FROM s
+)
+SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-ANN SCALE path, oracle-checked: hyperplane-LSH bucket
+    probing (only same-bucket corpus vectors are scored). The DuckDB oracle
+    replicates the bucketing bit-exactly — md5-derived ±1 weights and a
+    left-associated sequential double sum match Spark's fold — so the hash
+    compare proves the bucketed candidate set AND ranking, not just recall."""
+    from .operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 41 == 0)
+    return lsh_topk(emb, queries, dims=64, k=5, planes=4).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+
+
+def _plane_sign_sql(p: int, dims: int = 64) -> str:
+    """Mirror of similarity._hyperplane_sign in DuckDB SQL: same md5-derived
+    weights, same left-to-right double accumulation ⇒ bit-identical sign."""
+    terms = " + ".join(
+        f"(CASE WHEN substr(md5('{p}|{d}'),1,1) >= '8' THEN 1.0 ELSE -1.0 END)"
+        f" * CAST(embedding[{d + 1}] AS DOUBLE)"
+        for d in range(dims)
+    )
+    return f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)"
+
+
+_BUCKET_SQL = " || ".join(_plane_sign_sql(p) for p in range(4))
+
+O_ANN_LSH_TOPK = f"""
+WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id % 41 = 0),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 9) DESC, neighbor_id) AS BIGINT) AS rank
   FROM s
 )
 SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
@@ -357,6 +410,7 @@ def docs_queries() -> dict:
         "split_leakage_anti": q_split_leakage,
         "text_stats": q_text_stats,
         "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_neardup": q_embedding_neardup,
         "curation_pipeline": q_curation_pipeline,
@@ -373,6 +427,7 @@ def docs_oracles() -> dict:
         "split_leakage_anti": O_SPLIT_LEAKAGE,
         "text_stats": O_TEXT_STATS,
         "ann_topk": O_ANN_TOPK,
+        "ann_lsh_topk": O_ANN_LSH_TOPK,
         "jaccard_pairs": O_JACCARD_PAIRS,
         "embedding_neardup": O_EMBEDDING_NEARDUP,
         "curation_pipeline": O_CURATION,

@@ -22,6 +22,8 @@ whole-stage codegen — no Python UDFs in the hot path.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -62,12 +64,30 @@ DUR_RE = (
     r"(?:hours?|hrs?|hr|minutes?|mins?|min|h|m)\b(?: and a half)?)"
 )
 
-# relative-date phrases (G3) resolved against a pinned reference "today" —
-# the reference resolves against datetime.now() (faker_synth.py:100-123);
-# an engine must take the reference instant as a job parameter instead
+# relative-date phrases (G3/G11) resolved against a pinned reference "now" —
+# the reference resolves against datetime.now() (faker_synth.py:100-123,
+# create_enhanced_training_data.py:179-210); an engine must take the
+# reference instant as a job parameter instead. ``ref_hour`` pins the
+# time-of-day so "in N hours" resolves to a date deterministically.
 DEFAULT_REF_TODAY = "2025-06-15"
-REL_RE = r"\b(day after tomorrow|tomorrow|today)\b"
-_REL_OFFSETS = {"today": 0, "tomorrow": 1, "day after tomorrow": 2}
+DEFAULT_REF_HOUR = 9
+_WEEKDAYS = ["monday", "tuesday", "wednesday", "thursday", "friday"]
+REL_RE = (
+    r"\b(day after tomorrow|tomorrow|today|next week|next "
+    + "|next ".join(_WEEKDAYS)
+    + r")\b"
+)
+IN_HOURS_RE = r"\bin (\d{1,2}) hours\b"
+
+
+def _rel_offset_map(ref_today: str) -> dict[str, int]:
+    """Phrase → day offset, computed from the reference date's weekday
+    (faker_synth.py:117-122: next-<weekday> = (target − today) % 7, 0 ⇒ 7)."""
+    d = _dt.date.fromisoformat(ref_today)
+    m = {"today": 0, "tomorrow": 1, "day after tomorrow": 2, "next week": 7}
+    for i, wd in enumerate(_WEEKDAYS):
+        m[f"next {wd}"] = (i - d.weekday()) % 7 or 7
+    return m
 
 
 def _ne(c: Column) -> Column:
@@ -95,7 +115,11 @@ def _g(text: Column, pat: str, i: int) -> Column:
     return _ne(F.regexp_extract(text, pat, i))
 
 
-def date_norm_col(text: Column, ref_today: str = DEFAULT_REF_TODAY) -> Column:
+def date_norm_col(
+    text: Column,
+    ref_today: str = DEFAULT_REF_TODAY,
+    ref_hour: int = DEFAULT_REF_HOUR,
+) -> Column:
     """First date mention → normalized gold form (null if none).
 
     The style cascade is gated behind one cheap guard regex: rows with no
@@ -129,18 +153,20 @@ def date_norm_col(text: Column, ref_today: str = DEFAULT_REF_TODAY) -> Column:
     # dayfirst: "5-4-2024" → 05/04/2024
     dash = _split_dmy(_ne(F.regexp_extract(text, DASH_RE, 0)), "-")
     rel_phrase = _ne(F.regexp_extract(text, REL_RE, 1))
-    rel_date = F.date_add(
-        F.lit(ref_today).cast("date"),
-        F.coalesce(
-            *[
-                F.when(rel_phrase == p, F.lit(off))
-                for p, off in _REL_OFFSETS.items()
-            ]
-        ),
+    phrase_off = F.coalesce(
+        *[
+            F.when(rel_phrase == p, F.lit(off))
+            for p, off in _rel_offset_map(ref_today).items()
+        ]
     )
-    rel = F.when(rel_phrase.isNotNull(), F.date_format(rel_date, "dd/MM/yyyy"))
+    # "in N hours": day offset = (ref_hour + N) // 24 (rolls past midnight)
+    in_h = _ne(F.regexp_extract(text, IN_HOURS_RE, 1)).cast("int")
+    in_h_off = F.floor((in_h + F.lit(ref_hour)) / F.lit(24)).cast("int")
+    rel_off = F.coalesce(phrase_off, in_h_off)
+    rel_date = F.date_add(F.lit(ref_today).cast("date"), rel_off)
+    rel = F.when(rel_off.isNotNull(), F.date_format(rel_date, "dd/MM/yyyy"))
     return F.when(
-        text.rlike(r"[0-9]|today|tomorrow"),
+        text.rlike(r"[0-9]|today|tomorrow|next "),
         F.coalesce(iso, slash, spaced, mdy, dmon, dash, rel),
     )
 
@@ -160,18 +186,31 @@ def time_norm_col(text: Column) -> Column:
         F.concat(m24, F.lit(" AM"))
     )
 
+    # fuzzy "9ish" (faker_synth.py:95-96): reference hours are 7..20, so the
+    # 12-h digit determines the meridiem — 7..11 ⇒ AM, 12 and 1..8 ⇒ PM
+    ish_h = _ne(F.regexp_extract(text, ISH_RE, 1))
+    ish_ap = F.when(ish_h.cast("int").between(7, 11), F.lit("AM")).otherwise(
+        F.lit("PM")
+    )
+    t_ish = F.concat(ish_h, F.lit(":00 "), ish_ap)
+
     noon = F.when(text.rlike(r"\bnoon\b"), F.lit("12:00 PM"))
     midnight = F.when(text.rlike(r"\bmidnight\b"), F.lit("12:00 AM"))
     return F.when(
         text.rlike(r"[0-9]|noon|midnight"),
-        F.coalesce(t_ampm, t_24, noon, midnight),
+        F.coalesce(t_ampm, t_24, t_ish, noon, midnight),
     )
 
 
-# G4: time range — when no explicit duration, it derives as end − start
+# fuzzy "9ish" hour (faker_synth.py:95-96)
+ISH_RE = r"\b(\d{1,2})ish\b"
+
+# G4: time range (faker_synth.py:311-316 — "from X to Y", "X–Y" en-dash,
+# "between X and Y") — when no explicit duration, it derives as end − start
 RANGE_RE = (
-    r"\bfrom (\d{1,2}):([0-5]\d) ?([apAP][mM]) "
-    r"to (\d{1,2}):([0-5]\d) ?([apAP][mM])\b"
+    r"\b(?:from |between )?(\d{1,2}):([0-5]\d) ?([apAP][mM])"
+    r"(?: to | and |–)"
+    r"(\d{1,2}):([0-5]\d) ?([apAP][mM])\b"
 )
 
 
@@ -212,8 +251,12 @@ _DUR_TRANSFORMS = [
 
 def duration_norm_col(text: Column) -> Column:
     """Duration phrase (with or without a for/lasting intro), corpus
-    transforms applied; falls back to the range-derived duration."""
-    raw = _ne(F.regexp_extract(text, DUR_RE, 1))
+    transforms applied; falls back to the range-derived duration.
+
+    The relative-date phrase "in N hours" (a DATE mention) is masked first —
+    otherwise DUR_RE would claim its "N hours" span as a duration."""
+    masked = F.regexp_replace(text, IN_HOURS_RE, " ")
+    raw = _ne(F.regexp_extract(masked, DUR_RE, 1))
     out = raw
     for pat, repl in _DUR_TRANSFORMS:
         out = F.regexp_replace(out, pat, repl)

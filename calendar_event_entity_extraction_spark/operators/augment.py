@@ -39,18 +39,87 @@ def replace_whole_word_ci(text: Column, src: Column, dst: Column) -> Column:
 
 
 def swap_location_with_pool(
-    df: DataFrame, pool: list[str], text_col: str = "text", seed: int = 42
+    df: DataFrame,
+    pool: list[str],
+    text_col: str = "text",
+    seed: int = 42,
+    idx: Column | None = None,
 ) -> DataFrame:
-    """Candidate-A augmentation: swap the location mention for a pool member
-    and rewrite the text consistently; rows without a location pass through."""
-    key = F.concat_ws("|", F.col("conv_id"), F.col("turn_idx").cast("string"))
-    new_loc = pick_pool_member(pool, key, seed)
+    """J1 location half (``swap_entities_with_pools``, augmentors.py:31-35):
+    swap the location mention for a pool member and rewrite the text
+    consistently; rows without a location pass through. ``idx`` overrides
+    the pool index (0-based Column) for engine-portable keyed arithmetic."""
+    if idx is None:
+        key = F.concat_ws("|", F.col("conv_id"), F.col("turn_idx").cast("string"))
+        new_loc = pick_pool_member(pool, key, seed)
+    else:
+        new_loc = F.element_at(F.array(*[F.lit(p) for p in pool]), idx.cast("int") + 1)
     has = F.col("location").isNotNull()
     return df.withColumn(
         text_col,
         F.when(has, replace_whole_word_ci(F.col(text_col), F.col("location"), new_loc))
         .otherwise(F.col(text_col)),
     ).withColumn("location", F.when(has, new_loc).otherwise(F.col("location")))
+
+
+def swap_attendees_with_pool(
+    df: DataFrame,
+    pool: list[str],
+    text_col: str = "text",
+    seed: int = 44,
+    idx_fn=None,
+) -> DataFrame:
+    """J1 attendee half (``swap_entities_with_pools``, augmentors.py:22-30):
+    every attendee mention is independently swapped for a pool member and
+    the text rewritten whole-word case-insensitively, exactly like the
+    reference's per-name ``random.choice`` + ``replace_substrings`` — but
+    keyed deterministically so the augmentation is retry/partitioning-stable.
+
+    ``idx_fn(i) -> Column`` maps the attendee's list position to a 0-based
+    pool index (row context via closure); default keys on
+    xxhash64(conv_id|turn_idx, i, seed). Replacements apply sequentially in
+    list order (the reference iterates its mapping dict the same way).
+    """
+    arr = F.array(*[F.lit(p) for p in pool])
+    if idx_fn is None:
+        def idx_fn(i):  # noqa: E306
+            key = F.concat_ws(
+                "|", F.col("conv_id"), F.col("turn_idx").cast("string")
+            )
+            return F.pmod(F.xxhash64(key, i, F.lit(seed)), F.lit(len(pool)))
+
+    new_atts = F.transform(
+        F.col("attendees"),
+        lambda _, i: F.element_at(arr, idx_fn(i).cast("int") + 1),
+    )
+    pairs = F.zip_with(
+        F.col("attendees"),
+        new_atts,
+        lambda old, new: F.struct(old.alias("src"), new.alias("dst")),
+    )
+    rewritten = F.aggregate(
+        pairs,
+        F.col(text_col),
+        lambda acc, p: replace_whole_word_ci(acc, p["src"], p["dst"]),
+    )
+    has = F.col("attendees").isNotNull() & (F.size("attendees") > 0)
+    return df.withColumn(
+        text_col, F.when(has, rewritten).otherwise(F.col(text_col))
+    ).withColumn("attendees", F.when(has, new_atts).otherwise(F.col("attendees")))
+
+
+def swap_entities_with_pools(
+    df: DataFrame,
+    att_pool: list[str],
+    loc_pool: list[str],
+    text_col: str = "text",
+    att_idx_fn=None,
+    loc_idx: Column | None = None,
+) -> DataFrame:
+    """Full J1 ``swap_entities_with_pools`` (augmentors.py:16-39): attendees
+    first, then location, text rewritten consistently by both halves."""
+    out = swap_attendees_with_pool(df, att_pool, text_col, idx_fn=att_idx_fn)
+    return swap_location_with_pool(out, loc_pool, text_col, idx=loc_idx)
 
 
 RENDER_TEMPLATES = [

@@ -96,6 +96,11 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str, perms: int = 8, row
     sh_df = df.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("_sh")
     )
+    # docs shorter than n tokens have null shingles ⇒ null minhashes; drop
+    # them BEFORE banding — concat_ws would otherwise collapse all-null
+    # signatures into one shared band key and cross-join every short doc
+    # (SQL engines drop them naturally: a NULL key never equi-joins)
+    sh_df = sh_df.filter(F.col("_sh").isNotNull())
     with_sig = sh_df.select("id", *minhash_from_shingles(F.col("_sh"), perms))
     bands = perms // rows_per_band
     band_structs = F.array(
@@ -120,23 +125,27 @@ def jaccard_col(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
 
 
-def minhash_near_duplicates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    threshold: float = 0.6,
-    perms: int = 8,
-    rows_per_band: int = 2,
-    n: int = 3,
-) -> DataFrame:
-    """Candidate pairs via LSH band equi-join, verified by exact shingle
-    Jaccard ≥ threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
+def capped_band_pairs(bands: DataFrame, bucket_cap: int | None = None) -> DataFrame:
+    """(id, band_idx, band_key) → distinct candidate (id_a, id_b) pairs via
+    a within-bucket self-join.
 
-    The band join shuffles on band_key only; the verify re-join fetches the
-    two shingle sets per surviving candidate pair.
+    ``bucket_cap`` bounds the quadratic blow-up of HOT buckets (boilerplate
+    documents, all-zero embeddings): each bucket is truncated to its first
+    ``bucket_cap`` members by id, so a bucket contributes at most
+    C(cap, 2) pairs instead of C(|bucket|, 2). Members beyond the cap lose
+    recall only against other members of the SAME overflowing bucket — a
+    documented trade-off for 100-TB survival. The cap window partitions on
+    the same (band_idx, band_key) the join shuffles on, so the exchange is
+    reused, not doubled.
     """
-    bands = minhash_bands(df, id_col, text_col, perms, rows_per_band, n)
-    cand = (
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_idx", "band_key").orderBy("id")
+        bands = (
+            bands.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    return (
         bands.alias("x")
         .join(
             bands.alias("y"),
@@ -147,6 +156,29 @@ def minhash_near_duplicates(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    perms: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Candidate pairs via LSH band equi-join, verified by exact shingle
+    Jaccard ≥ threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    The band join shuffles on band_key only; the verify re-join fetches the
+    two shingle sets per surviving candidate pair. At 100 TB pass a
+    ``bucket_cap`` (see :func:`capped_band_pairs`) so a hot band bucket
+    (boilerplate shingles) can't go quadratic; the default None keeps exact
+    all-pairs semantics for oracle-compared runs.
+    """
+    bands = minhash_bands(df, id_col, text_col, perms, rows_per_band, n)
+    cand = capped_band_pairs(bands, bucket_cap)
     sh = df.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
     )
@@ -185,12 +217,53 @@ def simhash16_col(text: Column) -> Column:
     return total.cast("int")
 
 
-def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Exact-bucket SimHash near-dup pairs (hamming distance 0 buckets).
-    For hamming ≤ k, join on band splits of the simhash instead."""
-    s = df.select(F.col(id_col).alias("id"), simhash16_col(F.col(text_col)).alias("sh"))
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 0,
+    bands: int = 4,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Banded SimHash near-dup pairs, verified by exact hamming distance.
+
+    The 16-bit simhash splits into ``bands`` bit-slices; by pigeonhole any
+    pair with hamming ≤ bands−1 agrees on at least one full slice, so a
+    per-slice equi-join (never an all-pairs or single-bucket self-join)
+    finds every candidate for ``max_hamming ≤ bands−1``. Candidates verify
+    with ``bit_count(xor) ≤ max_hamming``; hot slices are bounded by
+    ``bucket_cap`` (:func:`capped_band_pairs`).
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("banding guarantees recall only for max_hamming <= bands-1")
+    bits_per = 16 // bands
+    s = df.select(
+        F.col(id_col).alias("id"), simhash16_col(F.col(text_col)).alias("sh")
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("sh"), b * bits_per)
+                .bitwiseAND(F.lit((1 << bits_per) - 1))
+                .cast("string")
+                .alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = s.select("id", F.explode(band_arr).alias("b")).select(
+        "id", "b.band_idx", "b.band_key"
+    )
+    cand = capped_band_pairs(banded, bucket_cap)
+    sx = s.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sy = s.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        s.alias("x")
-        .join(s.alias("y"), (F.col("x.sh") == F.col("y.sh")) & (F.col("x.id") < F.col("y.id")))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), F.col("x.sh").alias("simhash"))
+        cand.join(sx, "id_a")
+        .join(sy, "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("sh_a").alias("simhash"), "hamming")
     )

@@ -23,16 +23,32 @@ DEFAULT_TOP_K = 500
 DEFAULT_SALT_BUCKETS = 16
 
 
-def salted_count(df: DataFrame, key: str, buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+def salted_count(
+    df: DataFrame,
+    key: str,
+    buckets: int = DEFAULT_SALT_BUCKETS,
+    salt_cols: list[str] | None = None,
+    seed: int = 7,
+) -> DataFrame:
     """groupBy(key).count() as a salted two-phase aggregate.
 
-    Phase 1 groups on (key, salt) where salt = pmod(xxhash64(whole row id),
-    buckets) — map-side partial aggregation already balances most of it, the
-    explicit salt guarantees no single reducer owns a hot key's entire
-    stream. Phase 2 sums the per-salt partials.
+    Phase 1 groups on (key, salt) where salt = pmod(xxhash64(salt_cols,
+    seed), buckets) — map-side partial aggregation already balances most of
+    it, the explicit salt guarantees no single reducer owns a hot key's
+    entire stream. Phase 2 sums the per-salt partials.
+
+    The salt derives from deterministic ROW CONTENT (salt_cols, default: all
+    columns), never ``monotonically_increasing_id`` — that id changes under
+    repartitioning/task retry, which could re-salt rows between the partial
+    and final aggregates (CLAUDE.md invariant #3). Pass distinguishing key
+    columns (e.g. ``(conv_id, turn_idx)``) so a hot key's rows actually
+    spread across buckets; salting on the key column alone degenerates to
+    one bucket per key value.
     """
+    cols = salt_cols or df.columns
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)), F.lit(buckets)),
     )
     partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_pc"))
     return partial.groupBy(key).agg(F.sum("_pc").alias("cnt"))
@@ -69,7 +85,12 @@ def build_entity_pools(
     orderBy(desc(cnt), name) + limit = distributed top-k (Spark runs this as
     a per-partition TakeOrdered + driver merge, not a global sort).
     """
-    counts = salted_count(triples.filter(F.col("pred") == pred).select(F.col("obj").alias("name")), "name")
+    mentions = triples.filter(F.col("pred") == pred).select(
+        "event_id", "obj_idx", F.col("obj").alias("name")
+    )
+    counts = salted_count(
+        mentions, "name", salt_cols=["event_id", "obj_idx", "name"]
+    )
     return counts.orderBy(F.desc("cnt"), F.asc("name")).limit(top_k)
 
 
@@ -83,12 +104,18 @@ def link_entities(triples: DataFrame, pool: DataFrame, pred: str) -> DataFrame:
     join against the pool; unlinked mentions keep entity_rank = null.
 
     The pool side is forced broadcast — at 100 TB the triples side never
-    shuffles for this join.
+    shuffles for this join. The rank window partitions on a constant: the
+    pool is ≤ top_k rows by construction (post-limit), so one partition is
+    the right plan — and an explicit partition spec avoids WindowExec's
+    "no partition defined" warning-per-run.
     """
     w_rank = pool.select(
         F.col("name"),
         (
-            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("name"))) - 1
+            F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("name"))
+            )
+            - 1
         ).alias("entity_rank"),
     )
     return triples.join(

@@ -55,7 +55,11 @@ _STOP = (
     r"| (?:on|via|over|using) (?=(?:Zoom|Google Meet|Microsoft Teams|Teams|Skype|Webex)\b)"
     r"|\.|$"
 )
-_MONTH_STOP = rf"| {MONTH_WORD}\.?,? ?\d| (?:today|tomorrow|day after)\b"
+_MONTH_STOP = (
+    rf"| {MONTH_WORD}\.?,? ?\d"
+    r"| (?:today|tomorrow|day after"
+    r"|next (?:week|monday|tuesday|wednesday|thursday|friday))\b"
+)
 
 # attendee phrase: after with / w/ / together with, up to a clause marker or
 # a bare medium mention; joiners: ", and" ", " " and " " & " " + "
@@ -83,7 +87,7 @@ PHYS_LOC_RE = (
     rf"([A-Za-z][A-Za-z0-9\u00c0-\u00ff'\u2019& ,-]*?){_LOC_STOP}"
 )
 
-NOTE_RE = r"\. Note: (.+)\.$"
+NOTE_RE = r"\. Note: (.+)\.(?: 🙂)?$"
 
 _MED_STOP = (
     r"|(?<! on)(?<! via)(?<!over)(?<!sing) "

@@ -67,3 +67,26 @@ def field_metrics(pred: DataFrame, gold: DataFrame) -> DataFrame:
 
 def metrics_dict(pred: DataFrame, gold: DataFrame) -> dict:
     return field_metrics(pred, gold).collect()[0].asDict()
+
+
+def field_metrics_counts(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Exact-integer variant for engine-comparable outputs: numerators and
+    denominators as BIGINT, never float ratios (a last-ulp divergence in a
+    rounded average would flip a cross-engine hash compare). Consumers derive
+    exact_match = exact_match_num / n_events etc. themselves."""
+    j = join_pred_gold(pred, gold)
+    eqs = {f: F.col(f"p_{f}").eqNullSafe(F.col(f"g_{f}")) for f in FIELDS}
+    all_eq = None
+    for eq in eqs.values():
+        all_eq = eq if all_eq is None else (all_eq & eq)
+    p_loc_nn = F.col("p_location").isNotNull()
+    return j.agg(
+        F.count("*").alias("n_events"),
+        F.sum(all_eq.cast("long")).alias("exact_match_num"),
+        F.sum(sum(eq.cast("long") for eq in eqs.values())).alias("field_match_num"),
+        (F.count("*") * 8).alias("field_total"),
+        F.sum(eqs["location"].cast("long")).alias("location_match_num"),
+        F.sum(eqs["action"].cast("long")).alias("action_match_num"),
+        F.sum((eqs["location"] & p_loc_nn).cast("long")).alias("loc_match_nonnull"),
+        F.sum(p_loc_nn.cast("long")).alias("loc_pred_nonnull"),
+    )

@@ -45,19 +45,22 @@ FEATURE_SCHEMA = (
 )
 
 
-def _fake_decode(payload: bytes) -> list[float]:
-    """Deterministic fake feature vector: 8 floats from the md5 digest."""
-    d = hashlib.md5(payload or b"").digest()
-    return [b / 255.0 for b in d[:8]]
-
-
 def extract_features(
     media: DataFrame, fake: bool = True, batch_hint: int = 1024
 ) -> DataFrame:
     """Decode + featurize media payloads via mapInPandas (Arrow batches).
 
-    With ``fake=False`` this is where a real decoder (PIL/libav) plugs in —
-    the Spark-side contract is identical.
+    Kernel contract is BATCH-LEVEL, never per-element pandas ``.map``: the
+    kernel receives one Arrow batch as columnar arrays and must return
+    columnar arrays, doing its numeric work in vectorized numpy/pandas ops
+    (a real decoder does its unavoidable per-item C call — PIL decode,
+    libav demux — then post-processes the whole batch as one ndarray).
+    The fake path demonstrates the shape: lengths via the vectorized
+    ``.str.len()``, one digest pass per batch whose bytes are featurized by
+    a single numpy reshape/divide over the entire batch.
+
+    With ``fake=False`` this is where a real decoder plugs in — the
+    Spark-side contract is identical.
     """
     if not fake:
         raise NotImplementedError(
@@ -65,20 +68,30 @@ def extract_features(
             "environment; pass fake=True for the deterministic stub decoder"
         )
 
+    import numpy as np
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pd.DataFrame(
+            payload = pdf["payload"].fillna(b"")
+            # the only per-item step (analog of a decoder's C call); its
+            # digest is computed once and reused for checksum AND features
+            digests = [hashlib.md5(b).digest() for b in payload]
+            if digests:
+                raw = np.frombuffer(
+                    b"".join(d[:8] for d in digests), dtype=np.uint8
+                ).reshape(-1, 8)
+                feats = list((raw / np.float32(255.0)).astype("float32"))
+            else:
+                feats = []
+            yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(lambda b: len(b or b"")),
-                    "checksum": pdf["payload"].map(
-                        lambda b: hashlib.md5(b or b"").hexdigest()
-                    ),
-                    "feat": pdf["payload"].map(_fake_decode),
+                    "n_bytes": payload.str.len().astype("int64"),
+                    "checksum": [d.hex() for d in digests],
+                    "feat": feats,
                 }
             )
-            yield out
 
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 

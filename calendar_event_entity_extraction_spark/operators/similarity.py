@@ -7,7 +7,8 @@
   corpus; queries probe only their bucket. Hyperplanes are derived
   deterministically from md5 of (plane index, dimension index), so the
   bucketing is reproducible with no RNG state.
-* Embedding-cosine near-duplicate pairs: same LSH buckets self-joined.
+* Embedding-cosine near-duplicate pairs: multi-band hyperplane signatures
+  (MinHash-style banding) with capped buckets, verified by exact cosine.
 """
 
 from __future__ import annotations
@@ -41,7 +42,7 @@ def brute_force_topk(
         .withColumn("cos", cosine_col(F.col("q_vec"), F.col("c_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
+        F.desc(F.round("cos", 9)), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -101,7 +102,9 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine_col(F.col("q_vec"), F.col("c_vec")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 9)), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -165,7 +168,9 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine_col(F.col("q_vec"), F.col("c_vec")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 9)), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -179,21 +184,55 @@ def cosine_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    planes: int = 6,
+    bands: int = 4,
+    planes_per_band: int = 8,
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
-    """Near-duplicate vector pairs: LSH-bucket self-join + cosine verify."""
-    bucket = lsh_bucket_col(F.col(vec_col), planes, dims)
-    b = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket.alias("bucket")
+    """Near-duplicate vector pairs: multi-band hyperplane LSH + cosine verify.
+
+    MinHash-style banding, not one global bucket set: each band hashes the
+    corpus with its own ``planes_per_band`` independent hyperplanes
+    (2^planes_per_band keys per band), candidates are the union of
+    within-(band, key) pairs, then exact cosine filters. A near-identical
+    pair agrees on every plane sign with high probability, so recall stays
+    ~1 per band while bucket population shrinks exponentially with
+    planes_per_band — at 100 TB, raise planes_per_band (more, smaller
+    buckets) rather than joining 2^6 giant buckets quadratically. Hot
+    buckets (e.g. all-zero embeddings) are additionally truncated to
+    ``bucket_cap`` members (see ``dedup.capped_band_pairs``).
+
+    Physical shape: one narrow signature pass over the corpus; the band
+    frame carries only (id, band_idx, band_key) through the candidate
+    shuffle; vectors re-join per surviving candidate for the verify.
+    """
+    from .dedup import capped_band_pairs
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat(
+                    *[
+                        _hyperplane_sign(
+                            F.col(vec_col), b * planes_per_band + p, dims
+                        )
+                        for p in range(planes_per_band)
+                    ]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
     )
+    banded = corpus.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("b")
+    ).select("id", "b.band_idx", "b.band_key")
+    cand = capped_band_pairs(banded, bucket_cap)
+    vx = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vy = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     return (
-        b.alias("x")
-        .join(b.alias("y"), (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")))
-        .withColumn("cos", cosine_col(F.col("x.v"), F.col("y.v")))
+        cand.join(vx, "id_a")
+        .join(vy, "id_b")
+        .withColumn("cos", cosine_col(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos") >= threshold)
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.round("cos", 6).alias("cos"),
-        )
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

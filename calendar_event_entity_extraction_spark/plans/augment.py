@@ -20,7 +20,7 @@ from ..functions.datetime_norm import date_norm_col, time_norm_col
 from ..operators.augment import (
     deterministic_shuffle,
     render_template_col,
-    swap_location_with_pool,
+    swap_entities_with_pools,
 )
 from ..operators.dedup import canonical_json_signature, dedup_first_wins
 from ..operators.schema_enforce import enforce_event_schema, event_struct_col
@@ -40,7 +40,8 @@ def augment_pipeline(
         "date", F.coalesce(date_norm_col(F.col("date")), F.col("date"))
     ).withColumn("time", F.coalesce(time_norm_col(F.col("time")), F.col("time")))
 
-    # A1: location pool (top-k by frequency), collected + broadcast
+    # A1: entity pools (top-k by frequency), collected + broadcast — both
+    # halves of the reference's swap_entities_with_pools (augmentors.py:16-39)
     pool_rows = (
         ev.filter(F.col("location").isNotNull())
         .groupBy("location")
@@ -49,14 +50,23 @@ def augment_pipeline(
         .limit(pool_top_k)
         .collect()
     )
-    pool = [r["location"] for r in pool_rows] or ["Zoom"]
+    loc_pool = [r["location"] for r in pool_rows] or ["Zoom"]
+    att_rows = (
+        ev.select(F.explode("attendees").alias("name"))
+        .groupBy("name")
+        .count()
+        .orderBy(F.desc("count"), F.asc("name"))
+        .limit(pool_top_k)
+        .collect()
+    )
+    att_pool = [r["name"] for r in att_rows] or ["Alex"]
 
     # per-row augment: candidate A (entity swap) vs B (template re-render),
     # chosen by seeded hash of the row key (reference: random.choice)
     key = F.concat_ws("|", F.col("conv_id"), F.col("turn_idx").cast("string"))
     choice = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(2))
 
-    cand_a = swap_location_with_pool(ev, pool, seed=seed)
+    cand_a = swap_entities_with_pools(ev, att_pool, loc_pool)
     rendered = render_template_col(key, seed + 1)
     aug = cand_a.withColumn(
         "text", F.when(choice == 1, rendered).otherwise(F.col("text"))

@@ -16,6 +16,7 @@ from .operators.canonicalize import canonicalize_events
 from .operators.extract import extract_events
 from .synth.oracle import (
     GOLD_FIELDS,
+    gold_augment_sql,
     gold_dataset_analysis_sql,
     gold_entity_pool_sql,
     gold_eval_metrics_sql,
@@ -82,30 +83,81 @@ def q_entity_pool_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.triples import extract_triples
 
     tr = extract_triples(materialized_transcripts(spark, sf_dir))
-    loc = tr.filter(F.col("pred") == "location").select(F.col("obj").alias("name"))
-    return salted_count(loc, "name")
+    loc = tr.filter(F.col("pred") == "location").select(
+        "conv_id", "turn_idx", F.col("obj").alias("name")
+    )
+    return salted_count(
+        loc, "name", salt_cols=["conv_id", "turn_idx", "name"]
+    ).select("name", "cnt")
 
 
 def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference compute_metrics semantics (src/evaluate_finetuned.py:48-99)
     on a controlled perturbation: predictions = extraction with location
-    clobbered on keys k%10==3, gold = unperturbed extraction. Accuracies are
-    then exact, engine-independent fractions of the key distribution."""
-    from .operators.metrics import field_metrics
+    clobbered on keys k%10==3, gold = unperturbed extraction. All compared
+    outputs are exact BIGINT numerator/denominator pairs (never floats).
 
-    ev = canonical_events(spark, sf_dir).cache()
+    No ``.cache()``: pred and gold are two projections of the same
+    deterministic lineage — re-executing the narrow extract twice is cheaper
+    at scale than holding the full event set in executor memory."""
+    from .operators.metrics import field_metrics_counts
+
+    ev = canonical_events(spark, sf_dir)
     k = F.substring("conv_id", 6, 20).cast("long")
     pred = ev.withColumn(
         "location",
         F.when(F.pmod(k, 10) == 3, F.lit("PERTURBED")).otherwise(F.col("location")),
     )
-    m = field_metrics(pred, ev)
-    return m.select(
-        F.round("exact_match", 6).alias("exact_match"),
-        F.round("field_accuracy", 6).alias("field_accuracy"),
-        F.round("location_accuracy", 6).alias("location_accuracy"),
-        F.round("action_accuracy", 6).alias("action_accuracy"),
-        F.round("location_precision", 6).alias("location_precision"),
+    return field_metrics_counts(pred, ev)
+
+
+# augmentation swap pools — deliberately disjoint from the grammar's NAMES /
+# location vocab so whole-word rewrites can't collide with other text tokens
+AUG_ATT_POOL = ["Zara", "Vikram", "Priya", "Diego", "Yuki"]
+AUG_LOC_POOL = ["Innovation Lab", "Harbor View", "Studio Nine"]
+
+
+def q_augment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 swap_entities_with_pools (augmentation/augmentors.py:16-39) as a
+    driver query: extract → swap every attendee + the location for keyed
+    pool members → verify the TEXT rewrite by probing each swapped mention
+    in the rewritten text (att_in_text must equal the attendee count)."""
+    from .operators.augment import swap_entities_with_pools
+
+    ev = canonical_events(spark, sf_dir)
+    k0 = F.substring("conv_id", 6, 20).cast("long")
+    t = F.col("turn_idx").cast("long")
+    sw = swap_entities_with_pools(
+        ev,
+        AUG_ATT_POOL,
+        AUG_LOC_POOL,
+        att_idx_fn=lambda i: F.pmod(
+            k0 * 7 + t * 31 + i.cast("long") * 11, F.lit(len(AUG_ATT_POOL))
+        ),
+        loc_idx=F.pmod(k0 * 13 + t * 31 + 5, F.lit(len(AUG_LOC_POOL))),
+    )
+    text = F.col("text")
+    att_hits = F.size(
+        F.filter(
+            F.coalesce(F.col("attendees"), F.array().cast("array<string>")),
+            lambda a: F.instr(text, a) > 0,
+        )
+    ).cast("long")
+    loc_hit = (
+        F.when(
+            F.col("location").isNotNull() & (F.instr(text, F.col("location")) > 0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return sw.select(
+        "conv_id",
+        "turn_idx",
+        F.array_join("attendees", "|").alias("attendees"),
+        "location",
+        att_hits.alias("att_in_text"),
+        loc_hit.alias("loc_in_text"),
     )
 
 
@@ -136,6 +188,7 @@ def kg_queries() -> dict:
         "entity_pool_locations": q_entity_pool_locations,
         "eval_metrics": q_eval_metrics,
         "dataset_analysis": q_dataset_analysis,
+        "augment_pipeline": q_augment_pipeline,
     }
     for f in GOLD_FIELDS:
         qs[f"extract_{f}"] = _field_query(f)
@@ -150,6 +203,7 @@ def kg_oracles() -> dict:
         "entity_pool_locations": gold_location_pool_sql(),
         "eval_metrics": gold_eval_metrics_sql(),
         "dataset_analysis": gold_dataset_analysis_sql(),
+        "augment_pipeline": gold_augment_sql(AUG_ATT_POOL, AUG_LOC_POOL),
     }
     for f in GOLD_FIELDS:
         oracles[f"extract_{f}"] = gold_events_sql([f])

@@ -93,11 +93,20 @@ def write_stage_partitioned_resumable(
     input_fingerprint: str,
     partition_col: str,
 ) -> dict:
-    """Partition-level checkpointing: each partition value is written as its
-    own hive-style directory and recorded in the manifest IMMEDIATELY, so a
-    job killed mid-stage resumes by writing only the missing partitions.
-    (`_lineage.json` starts with '_' so Spark's partition discovery ignores
-    it when the stage is read back as one table.)"""
+    """Partition-level checkpointing: partitions recorded as done in the
+    manifest are skipped; everything pending is written by ONE Spark job
+    with dynamic partition overwrite + ``partitionBy`` — all pending
+    partitions write in parallel (never a sequential per-value driver loop,
+    which would serialize the stage into V back-to-back jobs and re-scan the
+    input per value). Dynamic overwrite replaces only the partitions present
+    in the pending data, so already-done hive directories are untouched.
+
+    Resume safety: the dynamic-overwrite job commit is atomic per job — a
+    kill mid-job leaves only staging dirs, never a half partition — so the
+    committed hive-style directory listing IS the ground truth; the manifest
+    mirrors it for bookkeeping. Partition values must be path-safe (hive dir
+    names are the resume key). (`_lineage.json` starts with '_' so Spark's
+    partition discovery ignores it when the stage is read back.)"""
     import shutil
 
     path = os.path.join(out_dir, stage)
@@ -116,20 +125,24 @@ def write_stage_partitioned_resumable(
         }
         write_manifest(out_dir, stage, m)
 
-    values = sorted(
-        str(r[0]) for r in df.select(partition_col).distinct().collect()
-    )
-    done = set(m["partitions_done"])
-    for v in values:
-        if v in done:
-            continue
-        df.filter(F.col(partition_col).cast("string") == v).drop(
-            partition_col
-        ).write.mode("overwrite").parquet(f"{path}/{partition_col}={v}")
-        m["partitions_done"].append(v)
-        write_manifest(out_dir, stage, m)
+    done = sorted(set(m["partitions_done"]))
+    pending = df
+    if done:
+        pending = df.filter(~F.col(partition_col).cast("string").isin(done))
 
     spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        pending.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    prefix = f"{partition_col}="
+    m["partitions_done"] = sorted(
+        d[len(prefix):] for d in os.listdir(path) if d.startswith(prefix)
+    )
+
     written = spark.read.parquet(path)
     m.update(
         {

@@ -97,12 +97,33 @@ EPOCH = _dt.date(2024, 1, 1)
 TS_EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
 
 # bump when any formula changes — invalidates materialized fixture caches
-GRAMMAR_VERSION = 5
+GRAMMAR_VERSION = 6
 
 # pinned "now" for relative-date resolution (G3) — the reference resolves
-# against datetime.now() (faker_synth.py:294); we must not (FIXTURES.md §0)
+# against datetime.now() (faker_synth.py:294); we must not (FIXTURES.md §0).
+# REF_NOW_HOUR pins the time-of-day so "in N hours" resolves deterministically
+# (9 + 12 < 24 ⇒ every in-N-hours phrase lands on REF_TODAY itself).
 REF_TODAY = _dt.date(2025, 6, 15)
-REL_PHRASES = ["today", "tomorrow", "day after tomorrow"]  # offset = index
+REF_NOW_HOUR = 9
+
+IN_HOURS_CHOICES = [2, 3, 4, 6, 12]  # faker_synth.py:110
+_WEEKDAYS = ["monday", "tuesday", "wednesday", "thursday", "friday"]
+
+
+def _next_weekday_offset(target_idx: int) -> int:
+    """faker_synth.py:117-122: (target − today.weekday()) % 7, 0 ⇒ 7."""
+    return (target_idx - REF_TODAY.weekday()) % 7 or 7
+
+
+# (phrase, day offset from REF_TODAY) — G3/G11 relative-date grammar,
+# reference faker_synth.py:100-123 + create_enhanced_training_data.py:179-210
+REL_SPECS = (
+    [("today", 0), ("tomorrow", 1), ("day after tomorrow", 2), ("next week", 7)]
+    + [(f"next {w}", _next_weekday_offset(i)) for i, w in enumerate(_WEEKDAYS)]
+    + [(f"in {h} hours", (REF_NOW_HOUR + h) // 24) for h in IN_HOURS_CHOICES]
+)
+REL_PHRASES = [p for p, _ in REL_SPECS]
+REL_OFFSETS = [off for _, off in REL_SPECS]
 
 
 def _ord_suffix(d: int) -> str:
@@ -179,20 +200,24 @@ def event_spec(k: int) -> EventSpec:
         date_text, gold_date = f"{d} {MONTHS_ABBR[m - 1]} {y}", ddmmyyyy
     elif s_date == 5:
         date_text, gold_date = f"{d}-{m}-{y}", ddmmyyyy
-    else:  # G3: relative date, gold is the RESOLVED DD/MM/YYYY
-        off = (k // 3) % 3
-        date_text = REL_PHRASES[off]
-        rd = REF_TODAY + _dt.timedelta(days=off)
+    else:  # G3/G11: relative date, gold is the RESOLVED DD/MM/YYYY
+        off_idx = (k // 3) % len(REL_SPECS)
+        date_text = REL_PHRASES[off_idx]
+        rd = REF_TODAY + _dt.timedelta(days=REL_OFFSETS[off_idx])
         gold_date = f"{rd.day:02d}/{rd.month:02d}/{rd.year}"
 
-    # ---- time
-    s_time = k % 6
+    # ---- time (8 styles; faker_synth.py:80-97 + :311-321 ranges)
+    s_time = k % 8
     h24 = (k * 7 + 3) % 24
     mm = 15 * ((k * 5) % 4)
-    if s_time in (1, 4):
+    if s_time in (1, 4, 6):
         mm = 0
     if s_time == 4:
         h24 = 12
+    elif s_time == 6:
+        # "9ish": reference hours are 7..20 (faker_synth.py:305), which makes
+        # AM/PM inferable from the 12-h digit alone (7-11 ⇒ AM, else PM)
+        h24 = 7 + ((k * 7 + 3) % 14)
     h12 = ((h24 + 11) % 12) + 1
     ap = "AM" if h24 < 12 else "PM"
     range_delta = None
@@ -215,21 +240,34 @@ def event_spec(k: int) -> EventSpec:
     elif s_time == 4:
         time_text = "noon"
         gold_time = "12:00 PM"
-    else:  # G4: time range "from X to Y"; gold time = start, normalized
+    elif s_time == 6:  # "9ish" (faker_synth.py:95-96 style 5)
+        time_text = f"{h12}ish"
+        gold_time = f"{h12}:00 {ap}"
+    elif s_time == 7:  # no-space "9:05AM" (faker_synth.py:97 style 6)
+        time_text = f"{h12}:{mm:02d}{ap}"
+        gold_time = f"{h12}:{mm:02d} {ap}"
+    else:  # G4: time range (3 variants); gold time = start, normalized
         range_delta = 30 * ((k // 29) % 4 + 1)  # 30/60/90/120 minutes
         end_total = (h24 * 60 + mm + range_delta) % 1440
         eh24, emm = end_total // 60, end_total % 60
         eh12 = ((eh24 + 11) % 12) + 1
         eap = "am" if eh24 < 12 else "pm"
-        time_text = (
-            f"from {h12}:{mm:02d} {ap.lower()} to {eh12}:{emm:02d} {eap}"
-        )
+        start = f"{h12}:{mm:02d} {ap.lower()}"
+        end = f"{eh12}:{emm:02d} {eap}"
+        variant = (k // 17) % 3  # faker_synth.py:311-316
+        if variant == 0:
+            time_text = f"from {start} to {end}"
+        elif variant == 1:
+            time_text = f"{start}–{end}"  # en-dash, no spaces
+        else:
+            time_text = f"between {start} and {end}"
         gold_time = f"{h12}:{mm:02d} {ap}"
     if k % 10 == 2:  # P9 noise: timezone tag; gold time unchanged
         time_text = f"{time_text} (IST)"
 
-    # ---- attendees (ordered, never [])
-    n_att = k % 4
+    # ---- attendees (ordered, never []); null rate pinned to the measured
+    # reference corpus rate (SURVEY §1.2: 24.7% null)
+    n_att = 0 if (k * 31) % 1000 < 247 else 1 + (k // 4) % 3
     names = [NAMES[(k * 13 + i * 7) % 20] for i in range(n_att)]
     s_att = (k // 7) % 3
     att_clause = ""
@@ -250,9 +288,9 @@ def event_spec(k: int) -> EventSpec:
             att_clause = f" with {names[0]}"
     gold_att = names or None
 
-    # ---- location
+    # ---- location (null rate pinned to §1.2: 34.5% null)
     loc_clause, gold_loc = "", None
-    if k % 5 != 0:
+    if (k * 17) % 1000 >= 345:
         if (k // 5) % 2 == 0:
             med = MEDIUMS[(k // 10) % 6]
             prep = MED_PREPS[(k // 3) % 3]
@@ -264,27 +302,29 @@ def event_spec(k: int) -> EventSpec:
             # gold drops the leading article (reference corpus 100:8)
             gold_loc = loc[4:] if loc.startswith("the ") else loc
 
-    # ---- duration (G4: derived from the time range when absent)
+    # ---- duration (G4: derived from the time range when absent).
+    # Explicit-duration rate 78.5% ⇒ overall null = 0.215 × 7/8 ≈ 18.8%,
+    # the measured §1.2 rate (range styles backfill the derived duration).
     dur_clause, gold_dur = "", None
-    if (k // 11) % 6 != 0:
+    if (k * 13) % 1000 >= 215:
         dt_text, dt_gold = DUR_PAIRS[(k // 13) % 8]
         verb = DUR_VERBS[(k // 6) % 2]
         dur_clause, gold_dur = f" {verb} {dt_text}", dt_gold
     elif range_delta is not None:
         gold_dur = f"{range_delta} minutes"
 
-    # ---- recurrence (rare; keyword prefixed). The keyword stays part of
-    # the gold action (corpus: always kept); the recurrence field lowercases
-    # a sentence-initial "Weekly" (corpus majority).
+    # ---- recurrence (rare — §1.2: 96.7% null; keyword prefixed). The
+    # keyword stays part of the gold action (corpus: always kept); the
+    # recurrence field lowercases a sentence-initial "Weekly" (majority).
     rec_prefix, gold_rec = "", None
-    if k % 25 == 0:
+    if (k * 23) % 1000 < 33:
         kw = REC_KWS[(k // 25) % 8]
         rec_prefix = kw + " "
         gold_rec = "weekly" if kw == "Weekly" else kw
 
-    # ---- notes (rare)
+    # ---- notes (rare — §1.2: 98.2% null)
     note_clause, gold_note = ".", None
-    if k % 40 == 0:
+    if (k * 29) % 1000 < 18:
         gold_note = NOTES[(k // 40) % 4]
         note_clause = f". Note: {gold_note}."
 

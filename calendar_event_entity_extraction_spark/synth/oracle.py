@@ -25,6 +25,7 @@ from .grammar import (
     NAMES,
     NOTES,
     REC_KWS,
+    REL_OFFSETS,
 )
 
 
@@ -74,17 +75,22 @@ WITH {KEYS_CTE}, f AS (
   SELECT k0, k, conv_id, turn_idx,
          day(d0) AS d, month(d0) AS m, year(d0) AS y,
          day(rd) AS rel_d, month(rd) AS rel_m, year(rd) AS rel_y,
-         k % 7 AS s_date, k % 6 AS s_time, k % 4 AS n_att,
-         CASE WHEN k % 6 = 4 THEN 12 ELSE (k*7+3) % 24 END AS h24,
-         CASE WHEN k % 6 IN (1,4) THEN 0 ELSE 15*((k*5)%4) END AS mm
-  FROM (SELECT *, DATE '2025-06-15' + CAST((k//3) % 3 AS INT) AS rd FROM f)
+         k % 7 AS s_date, k % 8 AS s_time,
+         CASE WHEN (k*31) % 1000 < 247 THEN 0 ELSE 1 + (k//4) % 3 END AS n_att,
+         CASE WHEN k % 8 = 4 THEN 12
+              WHEN k % 8 = 6 THEN 7 + ((k*7+3) % 14)
+              ELSE (k*7+3) % 24 END AS h24,
+         CASE WHEN k % 8 IN (1,4,6) THEN 0 ELSE 15*((k*5)%4) END AS mm
+  FROM (SELECT *, DATE '2025-06-15' +
+          CAST(({REL_OFFSETS})[1 + CAST((k//3) % {len(REL_OFFSETS)} AS INT)] AS INT) AS rd
+        FROM f)
 ), gold AS (
   SELECT
     k,
     n_att AS n_att_raw,
     conv_id,
     turn_idx,
-    (CASE WHEN k % 25 = 0
+    (CASE WHEN (k*23) % 1000 < 33
           THEN ({_lst(REC_KWS)})[1 + CAST((k//25) % 8 AS INT)] || ' ' ELSE '' END)
       || (CASE WHEN k % 10 = 4
                THEN replace(({_lst(ACTIONS)})[1 + CAST((k//6) % 12 AS INT)], 'meeting', 'mtg')
@@ -106,18 +112,18 @@ WITH {KEYS_CTE}, f AS (
            || (CASE WHEN n_att >= 2 THEN '|' || {_name(1)} ELSE '' END)
            || (CASE WHEN n_att >= 3 THEN '|' || {_name(2)} ELSE '' END)
     END AS attendees,
-    CASE WHEN k % 5 = 0 THEN NULL
+    CASE WHEN (k*17) % 1000 < 345 THEN NULL
          WHEN (k//5) % 2 = 0 THEN ({_lst(MEDIUMS)})[1 + CAST((k//10) % 6 AS INT)]
          ELSE ({_lst(LOC_GOLD)})[1 + CAST((k//10) % 8 AS INT)]
     END AS location,
-    CASE WHEN (k//11) % 6 != 0
+    CASE WHEN (k*13) % 1000 >= 215
            THEN ({_lst([g for _, g in DUR_PAIRS])})[1 + CAST((k//13) % 8 AS INT)]
-         WHEN k % 6 = 5
+         WHEN k % 8 = 5
            THEN CAST(30*((k//29) % 4 + 1) AS VARCHAR) || ' minutes'
          ELSE NULL
     END AS duration,
-    CASE WHEN k % 25 = 0 THEN ({_lst(REC_GOLD)})[1 + CAST((k//25) % 8 AS INT)] ELSE NULL END AS recurrence,
-    CASE WHEN k % 40 = 0 THEN ({_lst(NOTES)})[1 + CAST((k//40) % 4 AS INT)] ELSE NULL END AS notes
+    CASE WHEN (k*23) % 1000 < 33 THEN ({_lst(REC_GOLD)})[1 + CAST((k//25) % 8 AS INT)] ELSE NULL END AS recurrence,
+    CASE WHEN (k*29) % 1000 < 18 THEN ({_lst(NOTES)})[1 + CAST((k//40) % 4 AS INT)] ELSE NULL END AS notes
   FROM g
 )
 """
@@ -179,31 +185,66 @@ SELECT count(*) AS n_rows,
        count(*) AS action_nonnull,
        count(*) AS date_nonnull,
        count(*) AS time_nonnull,
-       CAST(sum(CASE WHEN k % 4 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS attendees_nonnull,
-       CAST(sum(CASE WHEN k % 5 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS location_nonnull,
-       CAST(sum(CASE WHEN (k // 11) % 6 != 0 OR k % 6 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS duration_nonnull,
-       CAST(sum(CASE WHEN k % 25 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS recurrence_nonnull,
-       CAST(sum(CASE WHEN k % 40 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS notes_nonnull
+       CAST(sum(CASE WHEN (k*31) % 1000 >= 247 THEN 1 ELSE 0 END) AS BIGINT) AS attendees_nonnull,
+       CAST(sum(CASE WHEN (k*17) % 1000 >= 345 THEN 1 ELSE 0 END) AS BIGINT) AS location_nonnull,
+       CAST(sum(CASE WHEN (k*13) % 1000 >= 215 OR k % 8 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS duration_nonnull,
+       CAST(sum(CASE WHEN (k*23) % 1000 < 33 THEN 1 ELSE 0 END) AS BIGINT) AS recurrence_nonnull,
+       CAST(sum(CASE WHEN (k*29) % 1000 < 18 THEN 1 ELSE 0 END) AS BIGINT) AS notes_nonnull
 FROM keys
+"""
+
+
+def gold_augment_sql(att_pool: list[str], loc_pool: list[str]) -> str:
+    """Oracle for the J1 entity-swap pipeline: swapped attendees/location
+    depend only on (k0, turn_idx, n_att, location-nonnull) — the pool index
+    is keyed arithmetic both engines compute identically. ``att_in_text``
+    / ``loc_in_text`` are the text-rewrite consistency probes: every swapped
+    mention must appear verbatim in the rewritten text."""
+    p, lp = len(att_pool), len(loc_pool)
+
+    def swapped(i: int) -> str:
+        return (
+            f"({_lst(att_pool)})"
+            f"[1 + CAST((k0*7 + turn_idx*31 + {i}*11) % {p} AS INT)]"
+        )
+
+    return f"""{GOLD_CTE}
+SELECT conv_id, turn_idx,
+  CASE WHEN n_att_raw = 0 THEN NULL
+       ELSE {swapped(0)}
+            || (CASE WHEN n_att_raw >= 2 THEN '|' || {swapped(1)} ELSE '' END)
+            || (CASE WHEN n_att_raw >= 3 THEN '|' || {swapped(2)} ELSE '' END)
+  END AS attendees,
+  CASE WHEN (k*17) % 1000 < 345 THEN NULL
+       ELSE ({_lst(loc_pool)})[1 + CAST((k0*13 + turn_idx*31 + 5) % {lp} AS INT)]
+  END AS location,
+  CAST(n_att_raw AS BIGINT) AS att_in_text,
+  CAST(CASE WHEN (k*17) % 1000 < 345 THEN 0 ELSE 1 END AS BIGINT) AS loc_in_text
+FROM (SELECT *, CAST(substr(conv_id, 6) AS BIGINT) AS k0 FROM gold)
 """
 
 
 def gold_eval_metrics_sql() -> str:
     """Oracle for the perturbed-prediction metrics query: the Spark side
     clobbers pred.location on conversations with k0%10==3 (both events of
-    such conversations), so every accuracy is an exact function of the key
-    distribution."""
+    such conversations), so every metric is an exact integer function of the
+    key distribution. All outputs are BIGINT numerator/denominator pairs —
+    never floats — so the hash compare is bit-stable across engines."""
     return f"""
 WITH {KEYS_CTE}, m AS (
-  SELECT avg(CASE WHEN k0 % 10 = 3 THEN 1.0 ELSE 0.0 END) AS frac,
-         sum(CASE WHEN k0 % 10 != 3 AND k % 5 != 0 THEN 1 ELSE 0 END) AS loc_match_nn,
-         sum(CASE WHEN k0 % 10 = 3 OR k % 5 != 0 THEN 1 ELSE 0 END) AS loc_pred_nn
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN k0 % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS perturbed,
+         CAST(sum(CASE WHEN k0 % 10 != 3 AND (k*17) % 1000 >= 345 THEN 1 ELSE 0 END) AS BIGINT) AS loc_match_nn,
+         CAST(sum(CASE WHEN k0 % 10 = 3 OR (k*17) % 1000 >= 345 THEN 1 ELSE 0 END) AS BIGINT) AS loc_pred_nn
   FROM keys
 )
-SELECT round(1.0 - frac, 6) AS exact_match,
-       round(1.0 - frac/8, 6) AS field_accuracy,
-       round(1.0 - frac, 6) AS location_accuracy,
-       round(1.0, 6) AS action_accuracy,
-       round(CAST(loc_match_nn AS DOUBLE) / loc_pred_nn, 6) AS location_precision
+SELECT n AS n_events,
+       n - perturbed AS exact_match_num,
+       8*n - perturbed AS field_match_num,
+       8*n AS field_total,
+       n - perturbed AS location_match_num,
+       n AS action_match_num,
+       loc_match_nn AS loc_match_nonnull,
+       loc_pred_nn AS loc_pred_nonnull
 FROM m
 """

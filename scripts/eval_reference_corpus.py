@@ -53,9 +53,14 @@ def evaluate(spark, rows, show_field=None, show_n=12, pools=None):
     for c, t, gold in rows:
         p = pred.get(c)
         if p is None:
+            # compute_metrics semantics: an undetected event scores 0 on
+            # EVERY field (never credit for null-vs-null)
             undetected += 1
+            for f in FIELDS:
+                bad[f].append((t, "<undetected>", gold.get(f)))
+            continue
         for f in FIELDS:
-            pv = list(p[f]) if (p and f == "attendees" and p[f] is not None) else (p[f] if p else None)
+            pv = list(p[f]) if (f == "attendees" and p[f] is not None) else p[f]
             gv = gold.get(f)
             if pv == gv:
                 acc[f] += 1
@@ -73,11 +78,15 @@ def evaluate(spark, rows, show_field=None, show_n=12, pools=None):
 
 
 if __name__ == "__main__":
-    split = sys.argv[1] if len(sys.argv) > 1 else "train"
-    field = sys.argv[2] if len(sys.argv) > 2 else None
+    # flags are parsed out BEFORE positionals bind ("--pools" must never
+    # land in the show_field slot)
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    split = pos[0] if len(pos) > 0 else "train"
+    field = pos[1] if len(pos) > 1 else None
     spark = get_spark(cores=8, shuffle_partitions=8)
     pools = None
-    if "--pools" in sys.argv:
+    if "--pools" in flags:
         from calendar_event_entity_extraction_spark.operators.extract import (
             build_lexicons,
         )

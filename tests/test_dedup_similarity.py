@@ -94,3 +94,55 @@ def test_lsh_topk_recalls_planted_neighbor(vectors):
     got = lsh_topk(df, q, dims=16, k=3, planes=3).collect()
     # the planted near-identical vector lands in the same LSH bucket
     assert any(r["neighbor_id"] == 1 and r["rank"] == 1 for r in got), got
+
+
+def test_bucket_cap_bounds_hot_bucket(spark):
+    """A pathological corpus (many identical docs ⇒ one hot band bucket)
+    must produce at most C(cap, 2) candidate pairs per bucket, not
+    C(N, 2) — the 100-TB survival property of capped_band_pairs."""
+    hot = spark.createDataFrame(
+        [(i, "same boilerplate text repeated across the entire corpus shard") for i in range(50)],
+        "doc_id long, text string",
+    )
+    capped = minhash_near_duplicates(hot, "doc_id", "text", bucket_cap=5)
+    uncapped = minhash_near_duplicates(hot, "doc_id", "text")
+    assert capped.count() == 5 * 4 // 2  # C(5,2)
+    assert uncapped.count() == 50 * 49 // 2
+
+
+def test_simhash_banded_hamming(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    exact = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=0)
+    got0 = {(r["id_a"], r["id_b"]): r["hamming"] for r in exact.collect()}
+    assert got0[(0, 1)] == 0
+    # near-dup docs differ in a few bits; hamming<=3 with 4 bands must find
+    # every pair the brute-force hamming check would
+    loose = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+    from calendar_event_entity_extraction_spark.operators.dedup import simhash16_col
+
+    sh = {r["doc_id"]: r["s"] for r in docs.select("doc_id", simhash16_col(F.col("text")).alias("s")).collect()}
+    brute = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    got3 = {(r["id_a"], r["id_b"]) for r in loose.collect()}
+    assert got3 == brute
+    for r in loose.collect():
+        assert r["hamming"] <= 3
+
+
+def test_cosine_neardup_banded(vectors):
+    from calendar_event_entity_extraction_spark.operators.similarity import (
+        cosine_near_duplicates,
+    )
+
+    df, _ = vectors
+    pairs = cosine_near_duplicates(
+        df, dims=16, threshold=0.99, bands=2, planes_per_band=6
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # the planted near-identical pair
+    for r in pairs.collect():
+        assert r["cos"] >= 0.99

@@ -56,8 +56,10 @@ def _accuracies(spark, rows, pools):
     acc = {f: 0 for f in FIELDS}
     for c, t, gold in rows:
         p = pred.get(c)
+        if p is None:
+            continue  # undetected scores 0 on every field (compute_metrics)
         for f in FIELDS:
-            pv = list(p[f]) if (p and f == "attendees" and p[f] is not None) else (p[f] if p else None)
+            pv = list(p[f]) if (f == "attendees" and p[f] is not None) else p[f]
             if pv == gold.get(f):
                 acc[f] += 1
     return {f: acc[f] / len(rows) for f in FIELDS}

@@ -170,3 +170,33 @@ def test_augment_pipeline_end_to_end(spark):
         .join(sigs.filter(F.col("split") != "train").select("_sig"), "_sig")
     )
     assert leak.count() == 0
+
+
+def test_swap_attendees_with_pool(spark):
+    from calendar_event_entity_extraction_spark.operators.augment import (
+        swap_attendees_with_pool,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("conv-1", 0, "Team sync at 3pm with Alice and Bob on Zoom.", ["Alice", "Bob"]),
+            ("conv-2", 1, "Standup at 9am.", None),
+        ],
+        "conv_id string, turn_idx int, text string, attendees array<string>",
+    )
+    pool = ["Zara", "Vikram", "Priya"]
+    out = {r["conv_id"]: r for r in swap_attendees_with_pool(df, pool).collect()}
+    r1 = out["conv-1"]
+    # every attendee independently swapped to a pool member, text rewritten
+    assert all(a in pool for a in r1["attendees"]) and len(r1["attendees"]) == 2
+    assert "Alice" not in r1["text"] and "Bob" not in r1["text"]
+    for a in r1["attendees"]:
+        assert a in r1["text"]
+    # surrounding text intact
+    assert r1["text"].startswith("Team sync at 3pm with ")
+    assert r1["text"].endswith(" on Zoom.")
+    # null-attendee rows pass through untouched
+    assert out["conv-2"]["text"] == "Standup at 9am." and out["conv-2"]["attendees"] is None
+    # deterministic under re-evaluation
+    again = {r["conv_id"]: r for r in swap_attendees_with_pool(df, pool).collect()}
+    assert again["conv-1"]["attendees"] == r1["attendees"]
