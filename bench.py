@@ -142,11 +142,13 @@ def main() -> None:
             "entity_pool_attendees",
             "entity_pool_locations",
             "eval_metrics",
+            "augment_pipeline",
             "dedup_exact",
             "minhash_neardup",
             "simhash",
             "text_stats",
             "ann_topk",
+            "ann_lsh_topk",
             "hash_split",
             "split_leakage_anti",
             "pricing_summary",

@@ -51,6 +51,10 @@ DMON_RE = rf"\b{_D}(?:st|nd|rd|th)?,? ({MONTH_WORD})\.?,? ?(\d{{4}})"
 # "20 - Oct - 2023" (spaced dashes with month name)
 SPACED_RE = rf"\b{_D} ?- ?({MONTH_WORD}) ?- ?(\d{{4}})\b"
 DASH_RE = rf"\b{_D}-{_M}-(\d{{4}})\b"
+# year-less "10th May" (enhanced generator style 3) — the lookahead blocks a
+# trailing 4-digit YEAR (yearful patterns own those) but admits a following
+# time like "4pm" / "14:30"
+DMON_NOYEAR_RE = rf"\b{_D}(?:st|nd|rd|th)? ({MONTH_WORD})\b(?!\.?,? ?\d{{4}}\b)"
 
 # time surface forms; U+202F narrow no-break space appears in the raw data
 _SEP = "[\\s ]*"
@@ -152,6 +156,17 @@ def date_norm_col(
     )
     # dayfirst: "5-4-2024" → 05/04/2024
     dash = _split_dmy(_ne(F.regexp_extract(text, DASH_RE, 0)), "-")
+    # year-less "10th May" → NEXT occurrence of (day, month) from ref_today
+    ref = _dt.date.fromisoformat(ref_today)
+    ny_d = _g(text, DMON_NOYEAR_RE, 1).cast("int")
+    ny_m = _month_num(F.substring(_g(text, DMON_NOYEAR_RE, 2), 1, 3)).cast("int")
+    ny_y = F.when(
+        (ny_m > ref.month) | ((ny_m == ref.month) & (ny_d >= ref.day)),
+        F.lit(ref.year),
+    ).otherwise(F.lit(ref.year + 1))
+    noyear = _dmy(
+        ny_d.cast("string"), ny_m.cast("string"), ny_y.cast("string")
+    )
     rel_phrase = _ne(F.regexp_extract(text, REL_RE, 1))
     phrase_off = F.coalesce(
         *[
@@ -167,7 +182,7 @@ def date_norm_col(
     rel = F.when(rel_off.isNotNull(), F.date_format(rel_date, "dd/MM/yyyy"))
     return F.when(
         text.rlike(r"[0-9]|today|tomorrow|next "),
-        F.coalesce(iso, slash, spaced, mdy, dmon, dash, rel),
+        F.coalesce(iso, slash, spaced, mdy, dmon, dash, noyear, rel),
     )
 
 

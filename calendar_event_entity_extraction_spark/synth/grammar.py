@@ -33,10 +33,21 @@ MONTHS_FULL = [
 ]
 MONTHS_ABBR = [m[:3] for m in MONTHS_FULL]
 
+# G10 enhanced action vocabulary (create_enhanced_training_data.py:21-52) —
+# the subset that is extractor-safe by construction: no embedded clause
+# markers (" with ", " at ", " on "…), no duration words ("Happy hour"),
+# no recurrence keywords ("Daily standup" — recurrence is a separate
+# grammar mechanism), second words lowercase
 ACTIONS = [
     "Team sync", "Project kickoff", "Budget review", "Design review",
     "Sprint planning", "Client call", "Strategy meeting", "Interview",
     "Demo session", "Standup", "Retrospective", "Quick meeting",
+    "Client meeting", "Sales call", "Pitch", "Consultation",
+    "Vendor meeting", "Board meeting", "Stakeholder meeting", "One-on-one",
+    "Code review", "Deep dive", "Kickoff", "Walkthrough",
+    "Town hall", "All hands", "Coffee chat", "Team lunch",
+    "Networking event", "Webinar", "Seminar", "Knowledge sharing",
+    "Study group", "Dental appointment", "Doctor visit", "Update meeting",
 ]
 
 NAMES = [
@@ -97,7 +108,7 @@ EPOCH = _dt.date(2024, 1, 1)
 TS_EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
 
 # bump when any formula changes — invalidates materialized fixture caches
-GRAMMAR_VERSION = 6
+GRAMMAR_VERSION = 7
 
 # pinned "now" for relative-date resolution (G3) — the reference resolves
 # against datetime.now() (faker_synth.py:294); we must not (FIXTURES.md §0).
@@ -171,7 +182,7 @@ def second_key(k: int) -> int:
     to differ from the first event's, so the two are never co-referent and
     the canonical event count is exactly (1 + has_second) per conversation."""
     b = k * 131 + 17
-    if (b // 6) % 12 == (k // 6) % 12:
+    if (b // 6) % len(ACTIONS) == (k // 6) % len(ACTIONS):
         b = k * 131 + 23
     return b
 
@@ -181,10 +192,11 @@ def event_spec(k: int) -> EventSpec:
     n_turns = 2 + (k % 5)
     req_turn = k % n_turns
 
-    # ---- date
+    # ---- date (8 styles; faker_synth.py:50-77 + enhanced generator's
+    # year-less "10th May", create_enhanced_training_data.py style 3)
     d0 = EPOCH + _dt.timedelta(days=(k * 37) % 730)
     d, m, y = d0.day, d0.month, d0.year
-    s_date = k % 7
+    s_date = k % 8
     ddmmyyyy = f"{d:02d}/{m:02d}/{y}"
     if s_date == 0:
         date_text, gold_date = ddmmyyyy, ddmmyyyy
@@ -200,11 +212,19 @@ def event_spec(k: int) -> EventSpec:
         date_text, gold_date = f"{d} {MONTHS_ABBR[m - 1]} {y}", ddmmyyyy
     elif s_date == 5:
         date_text, gold_date = f"{d}-{m}-{y}", ddmmyyyy
-    else:  # G3/G11: relative date, gold is the RESOLVED DD/MM/YYYY
+    elif s_date == 6:  # G3/G11: relative date, gold is the RESOLVED date
         off_idx = (k // 3) % len(REL_SPECS)
         date_text = REL_PHRASES[off_idx]
         rd = REF_TODAY + _dt.timedelta(days=REL_OFFSETS[off_idx])
         gold_date = f"{rd.day:02d}/{rd.month:02d}/{rd.year}"
+    else:  # year-less "10th May": resolves to the NEXT occurrence of (d, m)
+        date_text = f"{d}{_ord_suffix(d)} {MONTHS_FULL[m - 1]}"
+        ry = (
+            REF_TODAY.year
+            if (m, d) >= (REF_TODAY.month, REF_TODAY.day)
+            else REF_TODAY.year + 1
+        )
+        gold_date = f"{d:02d}/{m:02d}/{ry}"
 
     # ---- time (8 styles; faker_synth.py:80-97 + :311-321 ranges)
     s_time = k % 8
@@ -328,7 +348,7 @@ def event_spec(k: int) -> EventSpec:
         gold_note = NOTES[(k // 40) % 4]
         note_clause = f". Note: {gold_note}."
 
-    action = ACTIONS[(k // 6) % 12]
+    action = ACTIONS[(k // 6) % len(ACTIONS)]
     action_text = action
     if k % 10 == 4:
         # P9 noise: "meeting"→"mtg"; gold keeps "mtg" here because the next

@@ -25,6 +25,7 @@ from .grammar import (
     NAMES,
     NOTES,
     REC_KWS,
+    REF_TODAY,
     REL_OFFSETS,
 )
 
@@ -44,8 +45,9 @@ REC_GOLD = ["weekly" if x == "Weekly" else x for x in REC_KWS]
 
 
 # second-event key: action index forced to differ (grammar.second_key)
+_NA = len(ACTIONS)
 _K2 = (
-    "CASE WHEN (((k0*131+17)//6) % 12) = ((k0//6) % 12) "
+    f"CASE WHEN (((k0*131+17)//6) % {_NA}) = ((k0//6) % {_NA}) "
     "THEN k0*131+23 ELSE k0*131+17 END"
 )
 
@@ -75,7 +77,7 @@ WITH {KEYS_CTE}, f AS (
   SELECT k0, k, conv_id, turn_idx,
          day(d0) AS d, month(d0) AS m, year(d0) AS y,
          day(rd) AS rel_d, month(rd) AS rel_m, year(rd) AS rel_y,
-         k % 7 AS s_date, k % 8 AS s_time,
+         k % 8 AS s_date, k % 8 AS s_time,
          CASE WHEN (k*31) % 1000 < 247 THEN 0 ELSE 1 + (k//4) % 3 END AS n_att,
          CASE WHEN k % 8 = 4 THEN 12
               WHEN k % 8 = 6 THEN 7 + ((k*7+3) % 14)
@@ -93,12 +95,16 @@ WITH {KEYS_CTE}, f AS (
     (CASE WHEN (k*23) % 1000 < 33
           THEN ({_lst(REC_KWS)})[1 + CAST((k//25) % 8 AS INT)] || ' ' ELSE '' END)
       || (CASE WHEN k % 10 = 4
-               THEN replace(({_lst(ACTIONS)})[1 + CAST((k//6) % 12 AS INT)], 'meeting', 'mtg')
-               ELSE ({_lst(ACTIONS)})[1 + CAST((k//6) % 12 AS INT)] END) AS action,
+               THEN replace(({_lst(ACTIONS)})[1 + CAST((k//6) % {_NA} AS INT)], 'meeting', 'mtg')
+               ELSE ({_lst(ACTIONS)})[1 + CAST((k//6) % {_NA} AS INT)] END) AS action,
     CASE WHEN s_date = 1
       THEN CAST(y AS VARCHAR) || '-' || lpad(CAST(m AS VARCHAR),2,'0') || '-' || lpad(CAST(d AS VARCHAR),2,'0')
       WHEN s_date = 6
       THEN lpad(CAST(rel_d AS VARCHAR),2,'0') || '/' || lpad(CAST(rel_m AS VARCHAR),2,'0') || '/' || CAST(rel_y AS VARCHAR)
+      WHEN s_date = 7
+      THEN lpad(CAST(d AS VARCHAR),2,'0') || '/' || lpad(CAST(m AS VARCHAR),2,'0') || '/' ||
+           CAST(CASE WHEN m > {REF_TODAY.month} OR (m = {REF_TODAY.month} AND d >= {REF_TODAY.day})
+                     THEN {REF_TODAY.year} ELSE {REF_TODAY.year + 1} END AS VARCHAR)
       ELSE lpad(CAST(d AS VARCHAR),2,'0') || '/' || lpad(CAST(m AS VARCHAR),2,'0') || '/' || CAST(y AS VARCHAR)
     END AS date,
     CASE WHEN s_time = 3
