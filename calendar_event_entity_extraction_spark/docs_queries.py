@@ -352,6 +352,37 @@ SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode/featurize plumbing as an oracle-checked query:
+    documents become binary media payloads, the Arrow ``mapInPandas`` stage
+    runs the (deterministic) fake decoder, and DuckDB recomputes byte length
+    + md5 checksum directly — a hash match proves the batch plumbing
+    (schema, binary round-trip, kernel batching), with only the real
+    image/audio kernels stubbed (no codec libs in this environment)."""
+    from .operators.multimodal import extract_features
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return extract_features(media, fake=True).select(
+        "media_id", "kind", "n_bytes", "checksum"
+    )
+
+
+O_MULTIMODAL = """
+SELECT doc_id AS media_id,
+       (['image','audio','video'])[1 + CAST(doc_id % 3 AS INT)] AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approximate-ANN SCALE path, oracle-checked: hyperplane-LSH bucket
     probing (only same-bucket corpus vectors are scored). The DuckDB oracle
@@ -414,6 +445,7 @@ def docs_queries() -> dict:
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_neardup": q_embedding_neardup,
         "curation_pipeline": q_curation_pipeline,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -431,4 +463,5 @@ def docs_oracles() -> dict:
         "jaccard_pairs": O_JACCARD_PAIRS,
         "embedding_neardup": O_EMBEDDING_NEARDUP,
         "curation_pipeline": O_CURATION,
+        "multimodal_features": O_MULTIMODAL,
     }

@@ -119,6 +119,15 @@ def _g(text: Column, pat: str, i: int) -> Column:
     return _ne(F.regexp_extract(text, pat, i))
 
 
+def _match_then_group(text: Column, pat: str, groups: list[int]) -> list[Column]:
+    """ONE full-text scan (group 0), then per-group re-extraction on the
+    short matched substring — regex cost scales with input length, so the
+    group passes are near-free vs re-scanning the whole turn per group.
+    Null match propagates to null groups."""
+    m = _ne(F.regexp_extract(text, pat, 0))
+    return [_ne(F.regexp_extract(m, pat, i)) for i in groups]
+
+
 def date_norm_col(
     text: Column,
     ref_today: str = DEFAULT_REF_TODAY,
@@ -139,27 +148,19 @@ def date_norm_col(
     # mid-text ISO stays verbatim (89:29)
     iso = F.when(text.rlike(r"^\d{4}-\d{2}-\d{2}\b"), iso_conv).otherwise(iso_raw)
     slash = _split_dmy(_ne(F.regexp_extract(text, SLASH_RE, 0)), "/")
-    mdy = _dmy(
-        _g(text, MDY_RE, 2),
-        _month_num(F.substring(_g(text, MDY_RE, 1), 1, 3)),
-        _g(text, MDY_RE, 3),
-    )
-    dmon = _dmy(
-        _g(text, DMON_RE, 1),
-        _month_num(F.substring(_g(text, DMON_RE, 2), 1, 3)),
-        _g(text, DMON_RE, 3),
-    )
-    spaced = _dmy(
-        _g(text, SPACED_RE, 1),
-        _month_num(F.substring(_g(text, SPACED_RE, 2), 1, 3)),
-        _g(text, SPACED_RE, 3),
-    )
+    mdy_mon, mdy_d, mdy_y = _match_then_group(text, MDY_RE, [1, 2, 3])
+    mdy = _dmy(mdy_d, _month_num(F.substring(mdy_mon, 1, 3)), mdy_y)
+    dm_d, dm_mon, dm_y = _match_then_group(text, DMON_RE, [1, 2, 3])
+    dmon = _dmy(dm_d, _month_num(F.substring(dm_mon, 1, 3)), dm_y)
+    sp_d, sp_mon, sp_y = _match_then_group(text, SPACED_RE, [1, 2, 3])
+    spaced = _dmy(sp_d, _month_num(F.substring(sp_mon, 1, 3)), sp_y)
     # dayfirst: "5-4-2024" → 05/04/2024
     dash = _split_dmy(_ne(F.regexp_extract(text, DASH_RE, 0)), "-")
     # year-less "10th May" → NEXT occurrence of (day, month) from ref_today
     ref = _dt.date.fromisoformat(ref_today)
-    ny_d = _g(text, DMON_NOYEAR_RE, 1).cast("int")
-    ny_m = _month_num(F.substring(_g(text, DMON_NOYEAR_RE, 2), 1, 3)).cast("int")
+    ny_dg, ny_mon = _match_then_group(text, DMON_NOYEAR_RE, [1, 2])
+    ny_d = ny_dg.cast("int")
+    ny_m = _month_num(F.substring(ny_mon, 1, 3)).cast("int")
     ny_y = F.when(
         (ny_m > ref.month) | ((ny_m == ref.month) & (ny_d >= ref.day)),
         F.lit(ref.year),
@@ -188,10 +189,12 @@ def date_norm_col(
 
 def time_norm_col(text: Column) -> Column:
     """First time mention → normalized gold form (null if none)."""
-    # explicit am/pm: hour verbatim (leading zero preserved, per corpus)
-    h = _g(text, T_AMPM_RE, 1)
-    mm = F.coalesce(_ne(F.regexp_extract(text, T_AMPM_RE, 2)), F.lit("00"))
-    ap = F.upper(F.concat(F.regexp_extract(text, T_AMPM_RE, 3), F.lit("m")))
+    # explicit am/pm: hour verbatim (leading zero preserved, per corpus);
+    # one full-text scan, groups parsed from the short match
+    ampm_m = _ne(F.regexp_extract(text, T_AMPM_RE, 0))
+    h = _ne(F.regexp_extract(ampm_m, T_AMPM_RE, 1))
+    mm = F.coalesce(_ne(F.regexp_extract(ampm_m, T_AMPM_RE, 2)), F.lit("00"))
+    ap = F.upper(F.concat(F.regexp_extract(ampm_m, T_AMPM_RE, 3), F.lit("m")))
     t_ampm = F.concat(h, F.lit(":"), mm, F.lit(" "), ap)
 
     # 24-h with no am/pm: >=13 verbatim; <=11 + " AM"; ==12 + " PM"
@@ -236,18 +239,39 @@ def _minutes_of_day(h: Column, m: Column, ap: Column) -> Column:
 
 
 def range_duration_col(text: Column) -> Column:
-    """Derived duration from a 'from X to Y' range (reference G4,
-    faker_synth.py:311-321): (end − start) mod 24h, rendered 'N minutes'."""
+    """Derived duration from a time range (reference G4, faker_synth.py:
+    311-321, all three variants): (end − start) mod 24h, 'N minutes'.
+    One full-text scan; the six groups parse from the short match."""
+    m = _ne(F.regexp_extract(text, RANGE_RE, 0))
 
     def g(i: int) -> Column:
-        return _ne(F.regexp_extract(text, RANGE_RE, i))
+        return _ne(F.regexp_extract(m, RANGE_RE, i))
 
     start = _minutes_of_day(g(1), g(2), g(3))
     end = _minutes_of_day(g(4), g(5), g(6))
     delta = F.pmod(end - start, F.lit(1440))
     return F.when(
-        g(1).isNotNull(), F.concat(delta.cast("string"), F.lit(" minutes"))
+        m.isNotNull(), F.concat(delta.cast("string"), F.lit(" minutes"))
     )
+
+
+# detection-only alternations: ONE rlike scan decides whether a turn carries
+# a date / time mention, so the request filter never inlines the full
+# normalization cascade (Catalyst collapses Project into Filter, which would
+# otherwise evaluate every style's extract+concat twice per surviving row).
+# Membership is EXACTLY "the corresponding *_norm_col is non-null": each
+# style's normalization succeeds whenever its pattern matches.
+DATE_ANY_RE = "|".join(
+    f"(?:{p})"
+    for p in [
+        ISO_RE, SLASH_RE, MDY_RE, DMON_RE, SPACED_RE, DASH_RE,
+        DMON_NOYEAR_RE, REL_RE, IN_HOURS_RE,
+    ]
+)
+TIME_ANY_RE = "|".join(
+    f"(?:{p})"
+    for p in [T_AMPM_RE, T_24_RE, ISH_RE, r"\bnoon\b", r"\bmidnight\b"]
+)
 
 
 # corpus-majority duration transforms, applied in order
@@ -269,8 +293,12 @@ def duration_norm_col(text: Column) -> Column:
     transforms applied; falls back to the range-derived duration.
 
     The relative-date phrase "in N hours" (a DATE mention) is masked first —
-    otherwise DUR_RE would claim its "N hours" span as a duration."""
-    masked = F.regexp_replace(text, IN_HOURS_RE, " ")
+    otherwise DUR_RE would claim its "N hours" span as a duration. The
+    rebuild is gated on a cheap rlike so the common row pays one scan, not
+    a scan + string copy."""
+    masked = F.when(
+        text.rlike(IN_HOURS_RE), F.regexp_replace(text, IN_HOURS_RE, " ")
+    ).otherwise(text)
     raw = _ne(F.regexp_extract(masked, DUR_RE, 1))
     out = raw
     for pat, repl in _DUR_TRANSFORMS:

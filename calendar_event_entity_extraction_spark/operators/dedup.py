@@ -96,22 +96,27 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str, perms: int = 8, row
     sh_df = df.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("_sh")
     )
-    # docs shorter than n tokens have null shingles ⇒ null minhashes; drop
-    # them BEFORE banding — concat_ws would otherwise collapse all-null
-    # signatures into one shared band key and cross-join every short doc
-    # (SQL engines drop them naturally: a NULL key never equi-joins)
-    sh_df = sh_df.filter(F.col("_sh").isNotNull())
     with_sig = sh_df.select("id", *minhash_from_shingles(F.col("_sh"), perms))
     bands = perms // rows_per_band
+
+    def _band_key(b: int):
+        # null-PROPAGATING concat (never concat_ws, which skips nulls): a doc
+        # shorter than n tokens has null minhashes ⇒ null band_key, and a
+        # null key never equi-joins — identical to the oracle's `||`
+        # semantics. (A filter on the shingle alias would instead be pushed
+        # below the projection, re-computing the expensive shingle expr.)
+        parts: list = []
+        for r in range(rows_per_band):
+            if r:
+                parts.append(F.lit("|"))
+            parts.append(F.col(f"mh{b * rows_per_band + r}"))
+        return F.md5(F.concat(*parts))
+
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                    )
-                ).alias("band_key"),
+                _band_key(b).alias("band_key"),
             )
             for b in range(bands)
         ]
@@ -139,6 +144,9 @@ def capped_band_pairs(bands: DataFrame, bucket_cap: int | None = None) -> DataFr
     reused, not doubled.
     """
     if bucket_cap is not None:
+        # null band keys never join; drop them here so they can't pile into
+        # one window partition (cheap: filters materialized band rows)
+        bands = bands.filter(F.col("band_key").isNotNull())
         w = Window.partitionBy("band_idx", "band_key").orderBy("id")
         bands = (
             bands.withColumn("_rn", F.row_number().over(w))

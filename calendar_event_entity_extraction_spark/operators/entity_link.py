@@ -16,7 +16,7 @@ Re-expresses the reference's entity machinery Spark-first:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_TOP_K = 500
@@ -104,19 +104,18 @@ def link_entities(triples: DataFrame, pool: DataFrame, pred: str) -> DataFrame:
     join against the pool; unlinked mentions keep entity_rank = null.
 
     The pool side is forced broadcast — at 100 TB the triples side never
-    shuffles for this join. The rank window partitions on a constant: the
-    pool is ≤ top_k rows by construction (post-limit), so one partition is
-    the right plan — and an explicit partition spec avoids WindowExec's
-    "no partition defined" warning-per-run.
+    shuffles for this join. The pool is ≤ top_k rows by construction
+    (post-limit), so it is ranked on the DRIVER (one collect of a tiny
+    frame) instead of an unpartitioned window — a global window over even a
+    tiny input single-partitions that stage and (a foldable constant
+    partition key gets optimized away, bringing the WindowExec
+    single-partition warning right back).
     """
-    w_rank = pool.select(
-        F.col("name"),
-        (
-            F.row_number().over(
-                Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("name"))
-            )
-            - 1
-        ).alias("entity_rank"),
+    spark = triples.sparkSession
+    ranked = sorted(pool.collect(), key=lambda r: (-r["cnt"], r["name"]))
+    w_rank = spark.createDataFrame(
+        [(r["name"], i) for i, r in enumerate(ranked)],
+        "name string, entity_rank int",
     )
     return triples.join(
         F.broadcast(w_rank),

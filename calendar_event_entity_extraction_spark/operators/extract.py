@@ -26,8 +26,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.datetime_norm import (
+    DATE_ANY_RE,
     MON3_ALT,
     MONTH_WORD,
+    TIME_ANY_RE,
     date_norm_col,
     duration_norm_col,
     time_norm_col,
@@ -158,7 +160,10 @@ def location_col(
     "at/in [the] X" phrase (article dropped), else a bare dictionary
     location after a time mention."""
     med_alt = "|".join(mediums or DEFAULT_MEDIUMS)
-    med_intro_alt = "|".join((mediums or DEFAULT_MEDIUMS) + ["Slack", "Meet"])
+    # "phone" is in the reference's medium list (faker_synth.py:21) but only
+    # matches when preposition-introduced ("on phone") — as a bare word it
+    # would over-claim ordinary mentions
+    med_intro_alt = "|".join((mediums or DEFAULT_MEDIUMS) + ["Slack", "Meet", "phone"])
     med = _ne(
         F.regexp_extract(
             text, rf"\b(?:hosted on|on|via|over|using) ({med_intro_alt})\b", 1
@@ -279,18 +284,22 @@ def extract_events(
     Narrow map-only stage: filter + projections, no shuffle. Keeps
     (conv_id, turn_idx, text, ts) so downstream canonicalization and the
     per-turn text-equality invariant hold.
+
+    Detection runs as ONE cheap rlike alternation per column (DATE_ANY_RE /
+    TIME_ANY_RE, provably equivalent to "normalization non-null") placed in
+    the Filter BELOW the normalization Project — filtering on the computed
+    columns instead would make Catalyst inline the whole normalization
+    cascade into the filter condition and evaluate it twice per row.
     """
     text = F.col("text")
-    date_c = date_norm_col(text)
-    time_c = time_norm_col(text)
     return (
-        transcripts.withColumn("date", date_c)
-        .withColumn("time", time_c)
-        .filter(
+        transcripts.filter(
             (F.col("role") == "user")
-            & F.col("date").isNotNull()
-            & F.col("time").isNotNull()
+            & text.rlike(DATE_ANY_RE)
+            & text.rlike(TIME_ANY_RE)
         )
+        .withColumn("date", date_norm_col(text))
+        .withColumn("time", time_norm_col(text))
         .withColumn("event_id", F.xxhash64(F.col("conv_id"), F.col("turn_idx")))
         .withColumn("action", action_col(text, name_pool))
         .withColumn("attendees", attendees_col(text, name_pool))
