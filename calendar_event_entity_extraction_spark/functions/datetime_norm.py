@@ -282,10 +282,15 @@ _DUR_TRANSFORMS = [
     (r"(?i)^(?:an?|one)[- ]hour$", "1 hour"),
     (r"(?i)^hour$", "1 hour"),
     (r"(\d)mins\b", "$1 mins"),
-    (r"(\d) ?min\b", "$1 minutes"),
     (r"(\d)-hour\b", "$1 hours"),
     (r"(\d)-minute\b", "$1 minutes"),
 ]
+
+# "N min"/"Nmin" expands to "N minutes" EXCEPT in the corpus's compact
+# ordinal-date register ("Sync w/ Daniel 11th, Oct 2023 08:45 HQ 30min"),
+# where the annotation keeps it verbatim (measured 13:0 verbatim in that
+# cluster vs 21:5 expanded elsewhere)
+_ORDINAL_STYLE_RE = r"\d{1,2}(?:st|nd|rd|th), [A-Z][a-z]{2,8} \d{4}"
 
 
 def duration_norm_col(text: Column) -> Column:
@@ -303,4 +308,8 @@ def duration_norm_col(text: Column) -> Column:
     out = raw
     for pat, repl in _DUR_TRANSFORMS:
         out = F.regexp_replace(out, pat, repl)
+    out = F.when(
+        text.rlike(_ORDINAL_STYLE_RE),
+        out,
+    ).otherwise(F.regexp_replace(out, r"(\d) ?min\b", "$1 minutes"))
     return F.coalesce(out, range_duration_col(text))

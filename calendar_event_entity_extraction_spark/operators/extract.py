@@ -52,7 +52,7 @@ NAME = r"[A-Z][a-z]+"
 # clause markers that end a free-text span (action / attendee / location)
 _STOP = (
     r" with | w/ | at | in | from | for | lasting | via | over | using "
-    r"| planned | arranged | to |, [a-z0-9]|,? \d|,\d| on (?=\d|the |today|tomorrow)"
+    r"| planned | arranged | to |: |, [a-z0-9]|,? \d|,\d| on (?=\d|the |today|tomorrow)"
     rf"| on {MONTH_WORD}(?=\.?,? ?\d)"
     r"| (?:on|via|over|using) (?=(?:Zoom|Google Meet|Microsoft Teams|Teams|Skype|Webex)\b)"
     r"|\.|$"
@@ -67,7 +67,7 @@ _MONTH_STOP = (
 # a bare medium mention; joiners: ", and" ", " " and " " & " " + "
 _ATT_STOP = (
     r"(?= on | at | in | from | for | lasting | via | over | using "
-    r"| planned | arranged | hosted "
+    r"| planned | arranged | hosted | scheduled "
     r"| (?:Zoom|Google Meet|Microsoft Teams|Microsoft|Teams|Skype|Webex)\b"
     rf"| {MONTH_WORD}\.?,? ?\d"
     r"|, (?!and )[a-z]|,? ?\d|[.(]|$)"
@@ -80,7 +80,7 @@ BARE_RE = rf"({NAME_NM}(?:, {NAME_NM})+(?:,? and {NAME_NM})?)\b"
 
 # location: at/in [the] X (gold drops the article, 100:8 in the corpus)
 _LOC_STOP = (
-    r"(?= for | lasting | on | at | with | w/ | from |\.|, ?[a-z]|,?$"
+    r"(?= for | lasting | on | at | with | w/ | from | to |\.|, ?[a-z]|,?$"
     r"|,? ?\d+[:/]|,? ?\d{4}"
     r"|,? ?\d+ ?-?(?:[apAP]\.?[mM]|hours?|hrs?|hr|minutes?|mins?|min|h\b|m\b))"
 )
@@ -95,6 +95,33 @@ _MED_STOP = (
     r"|(?<! on)(?<! via)(?<!over)(?<!sing) "
     r"(?:Zoom|Google Meet|Microsoft Teams|Microsoft|Teams|Skype|Webex)\b"
     r"| [A-Z][a-z]+,"
+)
+
+# leading-medium rule (corpus majority 24:7): a medium mention BEFORE the
+# first date/time token is part of the leading action phrase, not the
+# location ("Sync on Teams March 15" → action "Sync on Teams", location
+# null; "… 4:45 pm Teams" → location "Teams"). The boundary tokens are
+# everything that can open a date/time: a digit, a relative-date keyword,
+# noon/midnight.
+_BOUND = (
+    r"[0-9]|\btoday\b|\btomorrow\b|\bnoon\b|\bmidnight\b"
+    r"|\bnext (?:week|monday|tuesday|wednesday|thursday|friday)\b"
+)
+_MED_BARE = "Microsoft Teams|Google Meet|Slack huddle|Zoom|Teams|Skype|Webex"
+LEAD_MED_RE = (
+    rf"^(?:(?!{_BOUND}).)*?"
+    rf"(?:\b(?:hosted on|on|via|over|using) (?:{_MED_BARE}|Slack|Meet|phone)"
+    rf"|\b(?:{_MED_BARE}))\b"
+)
+
+# action stops with every medium-related alternative removed — used on
+# leading-medium rows, where the action phrase runs THROUGH the medium up
+# to the date ("Sync on Teams March 15" → "Sync on Teams")
+_STOP_NOMED = (
+    r" with | w/ | at | in | from | for | lasting "
+    r"| planned | arranged | to |: |, [a-z0-9]|,? \d|,\d| on (?=\d|the |today|tomorrow)"
+    rf"| on {MONTH_WORD}(?=\.?,? ?\d)"
+    r"|\.|$"
 )
 ACTION_BODY = r"[A-Za-z0-9:][A-Za-z0-9:'\u2019 /-]*?"
 ACTION_RE = (
@@ -116,13 +143,20 @@ def action_col(text: Column, name_pool: list[str] | None = None) -> Column:
     )
     stripped = F.regexp_replace(text, lead, "")
     pat = ACTION_RE
+    pat_nomed = rf"^({ACTION_BODY})(?={_STOP_NOMED}{_MONTH_STOP})"
     if name_pool:
         alt = "|".join(sorted((_re.escape(n) for n in name_pool), key=len, reverse=True))
         pat = (
             rf"^({ACTION_BODY})"
             rf"(?={_STOP}{_MONTH_STOP}{_MED_STOP}| (?:{alt})\b)"
         )
-    raw = _ne(F.regexp_extract(stripped, pat, 1))
+        pat_nomed = (
+            rf"^({ACTION_BODY})"
+            rf"(?={_STOP_NOMED}{_MONTH_STOP}| (?:{alt})\b)"
+        )
+    raw = F.when(
+        text.rlike(LEAD_MED_RE), _ne(F.regexp_extract(stripped, pat_nomed, 1))
+    ).otherwise(_ne(F.regexp_extract(stripped, pat, 1)))
     # gold expands "mtg" → "meeting" when followed by an attendee clause,
     # keeps it when followed by a date (measured 10 vs 49 overall; the
     # expansion cluster is the name-following one)
@@ -136,12 +170,23 @@ def attendees_col(text: Column, name_pool: list[str] | None = None) -> Column:
     phrase = F.coalesce(
         _ne(F.regexp_extract(text, WITH_RE, 1)),
         _ne(F.regexp_extract(text, BARE_RE, 1)),
+        # "Meet X at …" — the verb's object is the attendee (corpus); the
+        # capitalization requirement keeps ordinary nouns out
+        _ne(F.regexp_extract(text, r"(?:^|[\s ])Meet ([A-Z][a-z]+)\b", 1)),
     )
     if name_pool:
         alt = "|".join(sorted((_re.escape(n) for n in name_pool), key=len, reverse=True))
-        # single bare name after a time or after a leading verb (Meet X …)
-        bare_single = rf"(?:[apAP]\.?[mM][\s ]+|^Meet |\bMeet )({alt})\b"
-        phrase = F.coalesce(phrase, _ne(F.regexp_extract(text, bare_single, 1)))
+        # single bare name after a time, after a leading verb, or right
+        # before an ordinal date ("Pitch review Emma 14th, Dec 2023 …")
+        bare_single = (
+            rf"(?:[apAP]\.?[mM][\s ]+|^Meet |\bMeet )({alt})\b"
+            rf"|\b({alt})(?= \d{{1,2}}(?:st|nd|rd|th)\b)"
+        )
+        single = F.coalesce(
+            _ne(F.regexp_extract(text, bare_single, 1)),
+            _ne(F.regexp_extract(text, bare_single, 2)),
+        )
+        phrase = F.coalesce(phrase, single)
     arr = F.split(F.regexp_replace(phrase, r"(, and |, | and | & | \+ )", "|"), r"\|")
     arr = F.transform(
         F.filter(arr, lambda x: F.trim(x) != ""), lambda x: F.trim(x)
@@ -164,13 +209,21 @@ def location_col(
     # matches when preposition-introduced ("on phone") — as a bare word it
     # would over-claim ordinary mentions
     med_intro_alt = "|".join((mediums or DEFAULT_MEDIUMS) + ["Slack", "Meet", "phone"])
-    med = _ne(
-        F.regexp_extract(
-            text, rf"\b(?:hosted on|on|via|over|using) ({med_intro_alt})\b", 1
-        )
+    # a medium BEFORE the first date/time token belongs to the action
+    # phrase, not the location (LEAD_MED_RE, corpus majority)
+    not_lead = ~text.rlike(LEAD_MED_RE)
+    med = F.when(
+        not_lead,
+        _ne(
+            F.regexp_extract(
+                text, rf"\b(?:hosted on|on|via|over|using) ({med_intro_alt})\b", 1
+            )
+        ),
     )
     phys = _ne(F.regexp_extract(text, PHYS_LOC_RE, 1))
-    bare_med = _ne(F.regexp_extract(text, rf"\b({med_alt})\b", 1))
+    bare_med = F.when(
+        not_lead, _ne(F.regexp_extract(text, rf"\b({med_alt})\b", 1))
+    )
     # bare multi-word Capitalized phrase right after a time mention
     # ("… 2pm Meeting Room B with …"); leading verbs excluded
     bare_multi = _ne(
@@ -203,7 +256,9 @@ def location_col(
         cand = _ne(
             F.regexp_extract(
                 text,
-                r"(?:[apAP]\.?[mM]|\d)[\s  ]+(?!Meet\b|Call\b)([A-Z][\w'’]+)\b(?![,.])",
+                r"(?:(?<![A-Za-z])[apAP]\.?[mM]|\d)[\s  ]+(?!Meet\b|Call\b)"
+                rf"(?!{MONTH_WORD}\b)"
+                r"([A-Z][\w'’]+)\b(?![,.])",
                 1,
             )
         )

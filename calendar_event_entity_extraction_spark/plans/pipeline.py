@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..operators.canonicalize import canonicalize_events
 from ..operators.entity_link import build_entity_pools, link_entities
 from ..operators.extract import extract_events
-from ..operators.triples import events_to_triples
+from ..operators.triples import SLIM_EVENT_COLS, events_to_triples
 from ..sources import manifest as mf
 
 
@@ -59,9 +59,15 @@ def run_pipeline(
         manifests[name] = mf.write_stage(df, out_dir, name, fp, partition_by)
         return mf.read_stage(spark, out_dir, name)
 
+    # SLIM projection before the canonicalize shuffle AND the write: the KG
+    # stages never read text/ts, and min_by's struct blocks Catalyst's own
+    # column pruning there — dropping them up front halves both the
+    # exchange payload and the stage's parquet volume
     events = stage(
         "events",
-        lambda: canonicalize_events(extract_events(transcripts)),
+        lambda: canonicalize_events(
+            extract_events(transcripts).select(*SLIM_EVENT_COLS)
+        ),
     )
     triples = stage("triples", lambda: events_to_triples(events))
 
