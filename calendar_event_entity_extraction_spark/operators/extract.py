@@ -113,6 +113,13 @@ LEAD_MED_RE = (
     rf"(?:\b(?:hosted on|on|via|over|using) (?:{_MED_BARE}|Slack|Meet|phone)"
     rf"|\b(?:{_MED_BARE}))\b"
 )
+# cheap literal pre-filter: the tempered per-char scan above only runs on
+# rows that mention a medium at all (~25% of event rows)
+_MED_HINT_RE = "Zoom|Meet|Teams|Skype|Webex|Slack|phone"
+
+
+def lead_med_col(text: Column) -> Column:
+    return text.rlike(_MED_HINT_RE) & text.rlike(LEAD_MED_RE)
 
 # action stops with every medium-related alternative removed — used on
 # leading-medium rows, where the action phrase runs THROUGH the medium up
@@ -155,7 +162,7 @@ def action_col(text: Column, name_pool: list[str] | None = None) -> Column:
             rf"(?={_STOP_NOMED}{_MONTH_STOP}| (?:{alt})\b)"
         )
     raw = F.when(
-        text.rlike(LEAD_MED_RE), _ne(F.regexp_extract(stripped, pat_nomed, 1))
+        lead_med_col(text), _ne(F.regexp_extract(stripped, pat_nomed, 1))
     ).otherwise(_ne(F.regexp_extract(stripped, pat, 1)))
     # gold expands "mtg" → "meeting" when followed by an attendee clause,
     # keeps it when followed by a date (measured 10 vs 49 overall; the
@@ -211,7 +218,7 @@ def location_col(
     med_intro_alt = "|".join((mediums or DEFAULT_MEDIUMS) + ["Slack", "Meet", "phone"])
     # a medium BEFORE the first date/time token belongs to the action
     # phrase, not the location (LEAD_MED_RE, corpus majority)
-    not_lead = ~text.rlike(LEAD_MED_RE)
+    not_lead = ~lead_med_col(text)
     med = F.when(
         not_lead,
         _ne(
