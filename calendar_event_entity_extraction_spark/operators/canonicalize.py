@@ -6,13 +6,18 @@ stable ``(conv_id, turn_idx)`` ordering: events in the same conversation with
 identical normalized (action, date, time) are the same real-world event —
 the earliest turn wins and keeps its ``event_id``.
 
-Physical shape: ONE shuffle on the merge key, as a hash aggregate with
-``min_by(struct(...), turn_idx)`` — map-side partial aggregation collapses
-duplicates before the exchange, and no sort is needed (measured ~1.6× faster
-than the equivalent row_number window, and it scales better: hot
-conversations pre-merge on the map side). ``canonicalize_events_window`` is
-the window-function formulation kept for parity with the `north_rule`
-wording; both produce identical rows (see tests).
+Physical shape: ONE shuffle on the merge key via
+``min_by(struct(...), turn_idx)``. Spark plans this as a SortAggregate —
+HashAggregate requires fixed-width mutable buffers and ANY string-typed
+aggregation buffer disqualifies it (verified empirically: even
+``min(string)`` sort-aggregates), so no formulation of this merge can hash-
+aggregate — but the partial aggregate still collapses echo duplicates
+BEFORE the exchange, and the sorts are per-partition over the slim event
+projection. Measured ~1.6× faster than the equivalent row_number window
+(one sort per side vs a global partition-ordered sort, and hot
+conversations pre-merge map-side). ``canonicalize_events_window`` is the
+window-function formulation kept for parity with the `north_rule` wording;
+both produce identical rows (see tests).
 """
 
 from __future__ import annotations
