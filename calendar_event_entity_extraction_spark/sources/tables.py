@@ -75,3 +75,23 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Reference S2 (write_jsonl) — for edge-compatibility only; internal
     tables are always columnar."""
     df.write.mode(mode).json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table — the Parquet analog of Iceberg's
+    ``bucket(N, col)`` partition transform (SCALE.md input layout): rows are
+    hash-co-located by ``bucket_col`` at WRITE time, so an equi-join (or
+    aggregation) of two tables bucketed the same way plans with NO Exchange
+    on either side — the shuffle is paid once at ingest instead of per
+    query. At 100 TB this is the difference between re-shuffling the fact
+    table for every keyed join and never shuffling it at all."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(name)

@@ -43,6 +43,20 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup_events(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop co-referent re-detections of the same
+    event across micro-batches. ``dropDuplicatesWithinWatermark`` keys state
+    on the merge key and EVICTS it once the watermark passes — bounded
+    state at any stream length, unlike a plain dropDuplicates whose state
+    grows forever. The batch analog is canonicalize_events (first-wins);
+    within a watermark window the first arrival wins here too."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "action", "date", "time"]
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, input_dir: str, query_name: str = "stream_events"
 ):

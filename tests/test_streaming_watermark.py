@@ -52,3 +52,33 @@ def test_watermarked_window_counts(spark, tmp_path):
     assert rows.get(h0 + dt.timedelta(hours=1)) == 1
     # the hour-9 window is still open (watermark hasn't passed it) → absent
     assert h0 + dt.timedelta(hours=9) not in rows
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from calendar_event_entity_extraction_spark.streaming.extract_stream import (
+        streaming_dedup_events,
+    )
+
+    base = str(tmp_path / "dedup_in")
+    h0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        _req("a", 0, h0),
+        _req("a", 1, h0 + dt.timedelta(minutes=1)),  # echo of the same event
+        _req("b", 0, h0 + dt.timedelta(minutes=2)),
+    ]
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(base)
+
+    ev = streaming_extract(spark, base).drop("attendees")
+    dd = streaming_dedup_events(ev)
+    q = (
+        dd.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT conv_id, turn_idx FROM dedup_stream").collect()
+    got = {(r["conv_id"], r["turn_idx"]) for r in out}
+    # the echo (a, 1) deduplicates against (a, 0); first arrival wins
+    assert got == {("a", 0), ("b", 0)}, got
