@@ -108,7 +108,7 @@ EPOCH = _dt.date(2024, 1, 1)
 TS_EPOCH = _dt.datetime(2024, 1, 1, 0, 0, 0)
 
 # bump when any formula changes — invalidates materialized fixture caches
-GRAMMAR_VERSION = 7
+GRAMMAR_VERSION = 8
 
 # pinned "now" for relative-date resolution (G3) — the reference resolves
 # against datetime.now() (faker_synth.py:294); we must not (FIXTURES.md §0).
@@ -235,9 +235,14 @@ def event_spec(k: int) -> EventSpec:
     if s_time == 4:
         h24 = 12
     elif s_time == 6:
-        # "9ish": reference hours are 7..20 (faker_synth.py:305), which makes
-        # AM/PM inferable from the 12-h digit alone (7-11 ⇒ AM, else PM)
-        h24 = 7 + ((k * 7 + 3) % 14)
+        # "9ish": reference hours are 7..20 (faker_synth.py:305). Hours 19
+        # and 20 render identically to 7 and 8 ("7ish"/"8ish") and are thus
+        # genuinely ambiguous even to the reference's model — the grammar
+        # generates the ten UNAMBIGUOUS ish-hours 9..18, so text↔gold stays
+        # self-consistent (FIXTURES.md §4 invariant). NB the variety source
+        # must not be k*7+3: for k ≡ 6 (mod 8) that expression is constant
+        # mod 14 and every ish row would get the same hour.
+        h24 = 9 + ((k // 8) % 10)
     h12 = ((h24 + 11) % 12) + 1
     ap = "AM" if h24 < 12 else "PM"
     range_delta = None

@@ -80,7 +80,7 @@ WITH {KEYS_CTE}, f AS (
          k % 8 AS s_date, k % 8 AS s_time,
          CASE WHEN (k*31) % 1000 < 247 THEN 0 ELSE 1 + (k//4) % 3 END AS n_att,
          CASE WHEN k % 8 = 4 THEN 12
-              WHEN k % 8 = 6 THEN 7 + ((k*7+3) % 14)
+              WHEN k % 8 = 6 THEN 9 + ((k//8) % 10)
               ELSE (k*7+3) % 24 END AS h24,
          CASE WHEN k % 8 IN (1,4,6) THEN 0 ELSE 15*((k*5)%4) END AS mm
   FROM (SELECT *, DATE '2025-06-15' +

@@ -114,3 +114,80 @@ def test_event_schema_conformance(spark):
     # mandatory fields never null (reference raw: 0% null)
     for k in ("action", "date", "time"):
         assert ev.filter(F.col(k).isNull()).count() == 0
+
+
+def test_date_norm_yearless_next_occurrence(spark):
+    """v7 year-less '10th May': resolves to the NEXT occurrence of (d, m)
+    from the pinned reference date 2025-06-15 — every valid (d, m)."""
+    rows = []
+    for m in range(1, 13):
+        for d in range(1, 32):
+            try:
+                dt.date(2024, m, d)
+            except ValueError:
+                continue
+            y = 2025 if (m, d) >= (6, 15) else 2026
+            rows.append(
+                (f"Sync {d}{_ord(d)} {MONTHS_FULL[m-1]} at 4pm.", f"{d:02d}/{m:02d}/{y}")
+            )
+    df = spark.createDataFrame(rows, "text string, expected string")
+    bad = df.filter(~date_norm_col(F.col("text")).eqNullSafe(F.col("expected")))
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_date_norm_all_relative_phrases(spark):
+    from calendar_event_entity_extraction_spark.synth.grammar import (
+        REF_TODAY,
+        REL_SPECS,
+    )
+
+    rows = []
+    for phrase, off in REL_SPECS:
+        rd = REF_TODAY + dt.timedelta(days=off)
+        rows.append((f"Sync {phrase} at 4pm.", rd.strftime("%d/%m/%Y")))
+    df = spark.createDataFrame(rows, "text string, expected string")
+    bad = df.filter(~date_norm_col(F.col("text")).eqNullSafe(F.col("expected")))
+    assert bad.count() == 0, bad.collect()
+
+
+def test_time_norm_fuzzy_and_nospace(spark):
+    rows = []
+    # unambiguous ish-hours (grammar band 9..18); "7ish"/"8ish" are
+    # genuinely ambiguous in the reference's 7..20 hour range and resolve
+    # to the extractor's documented AM choice
+    for h24 in list(range(9, 19)) + [7, 8]:
+        h12 = ((h24 + 11) % 12) + 1
+        ap = "AM" if h24 < 12 else "PM"
+        rows.append((f"Sync on 10/05/2024 at {h12}ish.", f"{h12}:00 {ap}"))
+    for h24 in range(24):
+        h12 = ((h24 + 11) % 12) + 1
+        ap = "AM" if h24 < 12 else "PM"
+        for mm in (0, 5, 45):
+            rows.append(
+                (f"Sync on 10/05/2024 {h12}:{mm:02d}{ap}.", f"{h12}:{mm:02d} {ap}")
+            )
+    df = spark.createDataFrame(rows, "text string, expected string")
+    bad = df.filter(~time_norm_col(F.col("text")).eqNullSafe(F.col("expected")))
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_range_variants_start_time_and_derived_duration(spark):
+    rows = []
+    for variant in range(3):
+        for delta in (30, 60, 90, 120):
+            start_h, start_m = 9, 15
+            total = start_h * 60 + start_m + delta
+            eh24, emm = total // 60, total % 60
+            eh12 = ((eh24 + 11) % 12) + 1
+            eap = "am" if eh24 < 12 else "pm"
+            s, e = f"{start_h}:{start_m:02d} am", f"{eh12}:{emm:02d} {eap}"
+            body = [f"from {s} to {e}", f"{s}–{e}", f"between {s} and {e}"][variant]
+            rows.append(
+                (f"Sync on 10/05/2024 {body}.", "9:15 AM", f"{delta} minutes")
+            )
+    df = spark.createDataFrame(rows, "text string, t_exp string, d_exp string")
+    bad = df.filter(
+        ~time_norm_col(F.col("text")).eqNullSafe(F.col("t_exp"))
+        | ~duration_norm_col(F.col("text")).eqNullSafe(F.col("d_exp"))
+    )
+    assert bad.count() == 0, bad.collect()
