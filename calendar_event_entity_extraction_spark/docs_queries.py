@@ -136,6 +136,19 @@ WHERE len(list_intersect(a.sh, b.sh)) >= 0.6 * len(list_distinct(list_concat(a.s
 """
 
 
+def q_minhash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket-capped (100-TB) code path, oracle-checked: with the cap
+    above every bucket's population the output is provably identical to the
+    uncapped all-pairs semantics, so the SAME DuckDB oracle must hash-match
+    — this pins the capped window+join machinery, not just its recall
+    trade-off (which `test_bucket_cap_bounds_hot_bucket` covers)."""
+    pairs = minhash_near_duplicates(
+        _docs_planted(spark, sf_dir), "doc_id", "text",
+        threshold=0.6, perms=8, rows_per_band=2, bucket_cap=4096,
+    )
+    return pairs.select("id_a", "id_b", "n_inter", "n_union")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", simhash16_col(F.col("text")).cast("long").alias("simhash")
@@ -436,6 +449,7 @@ def docs_queries() -> dict:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "minhash_neardup": q_minhash_neardup,
+        "minhash_neardup_capped": q_minhash_neardup_capped,
         "simhash": q_simhash,
         "hash_split": q_hash_split,
         "split_leakage_anti": q_split_leakage,
@@ -454,6 +468,7 @@ def docs_oracles() -> dict:
         "dedup_exact": O_DEDUP_EXACT,
         "minhash_signatures": O_MINHASH_SIG,
         "minhash_neardup": O_MINHASH_NEARDUP,
+        "minhash_neardup_capped": O_MINHASH_NEARDUP,
         "simhash": O_SIMHASH,
         "hash_split": O_HASH_SPLIT,
         "split_leakage_anti": O_SPLIT_LEAKAGE,

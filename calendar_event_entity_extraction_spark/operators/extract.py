@@ -232,19 +232,25 @@ def location_col(
         not_lead, _ne(F.regexp_extract(text, rf"\b({med_alt})\b", 1))
     )
     # bare multi-word Capitalized phrase right after a time mention
-    # ("… 2pm Meeting Room B with …"); leading verbs excluded
+    # ("… 2pm Meeting Room B with …", "… 8am HQ Office with …"); leading
+    # verbs and month names excluded. The am/pm anchor carries a
+    # letter-lookbehind so a word ENDING in am/pm ("team") can never
+    # anchor it.
     bare_multi = _ne(
         F.regexp_extract(
             text,
-            r"(?:[apAP]\.?[mM]|\d)[\s ]+(?!Meet |Call |Review |Discuss )"
-            r"([A-Z][a-z-]+(?: [A-Z][A-Za-z0-9]*)+)\b(?! ?\d)(?!,)",
+            r"(?:(?<![A-Za-z])[apAP]\.?[mM]|\d)[\s ]+(?!Meet |Call |Review |Discuss )"
+            rf"(?!{MONTH_WORD} )(?![AP]M\b)"
+            r"([A-Z][A-Za-z0-9-]*(?: [A-Z][A-Za-z0-9]*)+)\b(?! ?\d)(?!,)",
             1,
         )
     )
     # bare virtual-venue words ("… 6:30 pm virtual")
     bare_virtual = _ne(
         F.regexp_extract(
-            text, r"(?:[apAP]\.?[mM]|\d)[\s ]+(virtual|online)\b", 1
+            text,
+            r"(?:(?<![A-Za-z])[apAP]\.?[mM]|\d)[\s ]+(virtual|online)\b",
+            1,
         )
     )
     out = F.coalesce(med, phys, bare_multi, bare_virtual, bare_med)
@@ -254,7 +260,7 @@ def location_col(
         )
         bare = _ne(
             F.regexp_extract(
-                text, rf"(?:[apAP]\.?[mM]|\d)[\s ]+({alt})\b", 1
+                text, rf"(?:(?<![A-Za-z])[apAP]\.?[mM]|\d)[\s ]+({alt})\b", 1
             )
         )
         out = F.coalesce(out, bare)
@@ -264,7 +270,7 @@ def location_col(
             F.regexp_extract(
                 text,
                 r"(?:(?<![A-Za-z])[apAP]\.?[mM]|\d)[\s  ]+(?!Meet\b|Call\b)"
-                rf"(?!{MONTH_WORD}\b)"
+                rf"(?!{MONTH_WORD}\b)(?![AP]M\b)"
                 r"([A-Z][\w'’]+)\b(?![,.])",
                 1,
             )
