@@ -146,6 +146,7 @@ def main() -> None:
             "dedup_exact",
             "minhash_neardup",
             "simhash",
+            "multimodal_features",
             "text_stats",
             "ann_topk",
             "ann_lsh_topk",
