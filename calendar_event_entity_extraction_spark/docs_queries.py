@@ -441,6 +441,94 @@ SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
 """
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup (hamming ≤ 2) — the SCALE path, oracle-checked
+    against an exact all-pairs DuckDB xor/bit_count join. bands=4 over the
+    16-bit simhash guarantees (pigeonhole) full recall for hamming ≤ 3, so
+    the banded per-slice equi-join must reproduce the all-pairs answer
+    exactly; the hash compare therefore pins the banding + capped-bucket
+    machinery, not just the simhash values (which `simhash` pins)."""
+    from .operators.dedup import simhash_near_duplicates
+
+    pairs = simhash_near_duplicates(
+        _docs(spark, sf_dir), "doc_id", "text",
+        max_hamming=2, bands=4, bucket_cap=65536,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+O_SIMHASH_NEARDUP = f"""
+WITH s AS ({O_SIMHASH})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-flat ANN scale path, oracle-checked: 16 centroids seeded from
+    a portable md5-ordered pseudo-sample, corpus partitioned into inverted
+    lists by nearest centroid (distance quantized to 9 decimals, ties to the
+    lower centroid index), queries probe their 4 nearest lists. The DuckDB
+    oracle replicates seeding, assignment, probing, and ranking exactly, so
+    the hash compare proves the whole inverted-file candidate structure.
+    (The Lloyd-refinement variant is covered by recall pytests — replicating
+    iterative k-means in SQL would pin nothing extra about the Spark plan.)
+    """
+    from .operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 41 == 0)
+    return ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4, portable_seed=True
+    ).select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+
+
+O_ANN_IVF_TOPK = """
+WITH cent AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS ci,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+),
+assign AS (
+  SELECT e.vec_id, c.ci,
+         round(-list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 9) AS d
+  FROM embeddings e CROSS JOIN cent c
+),
+cells AS (
+  SELECT vec_id, ci AS cell FROM (
+    SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+    FROM assign
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, ci AS cell FROM (
+    SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+    FROM assign WHERE vec_id % 41 = 0
+  ) WHERE rn <= 4
+),
+s AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS cos
+  FROM probes p
+  JOIN cells cl ON p.cell = cl.cell
+  JOIN embeddings n ON n.vec_id = cl.vec_id AND n.vec_id != p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 9) DESC, neighbor_id) AS BIGINT) AS rank
+  FROM s
+)
+SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------- catalog
 
 
@@ -451,11 +539,13 @@ def docs_queries() -> dict:
         "minhash_neardup": q_minhash_neardup,
         "minhash_neardup_capped": q_minhash_neardup_capped,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "hash_split": q_hash_split,
         "split_leakage_anti": q_split_leakage,
         "text_stats": q_text_stats,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_neardup": q_embedding_neardup,
         "curation_pipeline": q_curation_pipeline,
@@ -470,11 +560,13 @@ def docs_oracles() -> dict:
         "minhash_neardup": O_MINHASH_NEARDUP,
         "minhash_neardup_capped": O_MINHASH_NEARDUP,
         "simhash": O_SIMHASH,
+        "simhash_neardup": O_SIMHASH_NEARDUP,
         "hash_split": O_HASH_SPLIT,
         "split_leakage_anti": O_SPLIT_LEAKAGE,
         "text_stats": O_TEXT_STATS,
         "ann_topk": O_ANN_TOPK,
         "ann_lsh_topk": O_ANN_LSH_TOPK,
+        "ann_ivf_topk": O_ANN_IVF_TOPK,
         "jaccard_pairs": O_JACCARD_PAIRS,
         "embedding_neardup": O_EMBEDDING_NEARDUP,
         "curation_pipeline": O_CURATION,

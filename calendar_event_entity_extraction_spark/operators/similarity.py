@@ -169,6 +169,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     kmeans_iterations: int = 0,
+    portable_seed: bool = False,
 ) -> DataFrame:
     """IVF-flat approximate top-k: the corpus is partitioned into inverted
     lists by nearest centroid; queries score only their ``n_probe`` nearest
@@ -181,12 +182,24 @@ def ivf_topk(
     broadcast), then an equi-join on centroid id — the corpus is touched
     once and only ~n_probe/n_centroids of it is scored per query. Each
     Lloyd step adds one narrow pass + one tiny (n_centroids-row) aggregate.
+
+    ``portable_seed`` orders the centroid pseudo-sample by
+    md5(id)-as-string instead of xxhash64 so plain-SQL engines (no
+    xxhash64) can replicate the exact seed set — used by the oracle-checked
+    driver query. Cell assignment quantizes the distance to 9 decimals
+    (matching the existing rank quantization) so assignment ties resolve by
+    centroid index identically across engines.
     """
+    seed_order = (
+        F.md5(F.col(id_col).cast("string"))
+        if portable_seed
+        else F.xxhash64(F.col(id_col))
+    )
     cents = [
         (i, r[vec_col])
         for i, r in enumerate(
             corpus.select(id_col, vec_col)
-            .orderBy(F.xxhash64(F.col(id_col)))  # deterministic pseudo-sample
+            .orderBy(seed_order, F.col(id_col))  # deterministic pseudo-sample
             .limit(n_centroids)
             .collect()
         )
@@ -200,7 +213,9 @@ def ivf_topk(
         scored = F.array(
             *[
                 F.struct(
-                    (-cosine_col(vec, F.array(*[F.lit(float(x)) for x in cv]))).alias("d"),
+                    F.round(
+                        -cosine_col(vec, F.array(*[F.lit(float(x)) for x in cv])), 9
+                    ).alias("d"),
                     F.lit(ci).alias("c"),
                 )
                 for ci, cv in cents
