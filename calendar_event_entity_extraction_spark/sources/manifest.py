@@ -50,11 +50,14 @@ def write_stage(
 
     spark = df.sparkSession
     written = spark.read.parquet(path)
+    # ONE post-write job: total rows is the sum of the per-partition counts
+    # (a second full count() job would re-scan the stage for nothing)
+    parts = partition_metrics(written)
     manifest = {
         "stage": stage,
         "input_fingerprint": input_fingerprint,
-        "rows": written.count(),
-        "partitions": partition_metrics(written),
+        "rows": sum(p["rows"] for p in parts),
+        "partitions": parts,
         "partition_by": partition_by or [],
         "config": config or {},
         "written_at": datetime.now(timezone.utc).isoformat(),
@@ -144,11 +147,12 @@ def write_stage_partitioned_resumable(
     )
 
     written = spark.read.parquet(path)
+    parts = partition_metrics(written)
     m.update(
         {
             "complete": True,
-            "rows": written.count(),
-            "partitions": partition_metrics(written),
+            "rows": sum(p["rows"] for p in parts),
+            "partitions": parts,
             "written_at": datetime.now(timezone.utc).isoformat(),
             "schema": written.schema.simpleString(),
         }
