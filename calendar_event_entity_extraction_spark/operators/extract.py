@@ -35,10 +35,11 @@ from ..functions.datetime_norm import (
     time_norm_col,
 )
 
-# default medium dictionary (reference MEDIUMS, faker_synth.py:21)
+# default medium dictionary (reference MEDIUMS, faker_synth.py:21, plus
+# BlueJeans — a standard VC platform the corpus golds as a location)
 DEFAULT_MEDIUMS = [
     "Google Meet", "Microsoft Teams", "Slack huddle",
-    "Zoom", "Teams", "Skype", "Webex",
+    "Zoom", "Teams", "Skype", "Webex", "BlueJeans",
 ]
 
 REC_ALT = (
@@ -54,7 +55,7 @@ _STOP = (
     r" with | w/ | at | in | from | for | lasting | via | over | using "
     r"| planned | arranged | to |: |, [a-z0-9]|,? \d|,\d| on (?=\d|the |today|tomorrow)"
     rf"| on {MONTH_WORD}(?=\.?,? ?\d)"
-    r"| (?:on|via|over|using) (?=(?:Zoom|Google Meet|Microsoft Teams|Teams|Skype|Webex)\b)"
+    r"| (?:on|via|over|using) (?=(?:Zoom|Google Meet|Microsoft Teams|Teams|Skype|Webex|BlueJeans)\b)"
     r"|\.|$"
 )
 _MONTH_STOP = (
@@ -68,7 +69,7 @@ _MONTH_STOP = (
 _ATT_STOP = (
     r"(?= on | at | in | from | for | lasting | via | over | using "
     r"| planned | arranged | hosted | scheduled "
-    r"| (?:Zoom|Google Meet|Microsoft Teams|Microsoft|Teams|Skype|Webex)\b"
+    r"| (?:Zoom|Google Meet|Microsoft Teams|Microsoft|Teams|Skype|Webex|BlueJeans)\b"
     rf"| {MONTH_WORD}\.?,? ?\d"
     r"|, (?!and )[a-z]|,? ?\d|[.(]|$)"
 )
@@ -78,22 +79,29 @@ WITH_RE = rf"\b(?:together with|with|w/) (.+?){_ATT_STOP}"
 NAME_NM = rf"(?!{MONTH_WORD} \d)[A-Z][a-z]+"
 BARE_RE = rf"({NAME_NM}(?:, {NAME_NM})+(?:,? and {NAME_NM})?)\b"
 
-# location: at/in [the] X (gold drops the article, 100:8 in the corpus)
+# location: at/in/by [the] X (gold drops the article, 100:8 in the corpus;
+# a small per-noun train-split majority KEEPS it \u2014 THE_KEEP_NOUNS below).
+# "in a/an \u2026" is never a location ("Pencil in a team retrospective"), and
+# "in with" is the check-in phrasal verb, not a place.
 _LOC_STOP = (
     r"(?= for | lasting | on | at | with | w/ | from | to |\.|, ?[a-z]|,?$"
     r"|,? ?\d+[:/]|,? ?\d{4}"
     r"|,? ?\d+ ?-?(?:[apAP]\.?[mM]|hours?|hrs?|hr|minutes?|mins?|min|h\b|m\b))"
 )
 PHYS_LOC_RE = (
-    rf"(?<![\w-])(?:at|in) (?:the )?(?!\d|noon\b|time\b)"
-    rf"([A-Za-z][A-Za-z0-9\u00c0-\u00ff'\u2019& ,-]*?){_LOC_STOP}"
+    rf"(?<![\w-])(?:at|in|by) (?!\d|noon\b|time\b|a |an |with |w/ )"
+    rf"((?:the )?[A-Za-z][A-Za-z0-9\u00c0-\u00ff'\u2019& ,-]*?){_LOC_STOP}"
 )
+# nouns whose train-split gold majority KEEPS the article ("the studio" \u00d72,
+# arena, clinic, mall, park, large park \u2014 each keep>strip in train); every
+# other "the X" drops it (multi-word strip majority 19:2)
+THE_KEEP_NOUNS = ["studio", "arena", "clinic", "mall", "park", "large park"]
 
 NOTE_RE = r"\. Note: (.+)\.(?: 🙂)?$"
 
 _MED_STOP = (
     r"|(?<! on)(?<! via)(?<!over)(?<!sing) "
-    r"(?:Zoom|Google Meet|Microsoft Teams|Microsoft|Teams|Skype|Webex)\b"
+    r"(?:Zoom|Google Meet|Microsoft Teams|Microsoft|Teams|Skype|Webex|BlueJeans)\b"
     r"| [A-Z][a-z]+,"
 )
 
@@ -107,7 +115,7 @@ _BOUND = (
     r"[0-9]|\btoday\b|\btomorrow\b|\bnoon\b|\bmidnight\b"
     r"|\bnext (?:week|monday|tuesday|wednesday|thursday|friday)\b"
 )
-_MED_BARE = "Microsoft Teams|Google Meet|Slack huddle|Zoom|Teams|Skype|Webex"
+_MED_BARE = "Microsoft Teams|Google Meet|Slack huddle|Zoom|Teams|Skype|Webex|BlueJeans"
 LEAD_MED_RE = (
     rf"^(?:(?!{_BOUND}).)*?"
     rf"(?:\b(?:hosted on|on|via|over|using) (?:{_MED_BARE}|Slack|Meet|phone)"
@@ -227,7 +235,10 @@ def location_col(
             )
         ),
     )
-    phys = _ne(F.regexp_extract(text, PHYS_LOC_RE, 1))
+    phys_raw = _ne(F.regexp_extract(text, PHYS_LOC_RE, 1))
+    phys = F.when(
+        F.lower(phys_raw).isin([f"the {n}" for n in THE_KEEP_NOUNS]), phys_raw
+    ).otherwise(F.regexp_replace(phys_raw, r"^the ", ""))
     bare_med = F.when(
         not_lead, _ne(F.regexp_extract(text, rf"\b({med_alt})\b", 1))
     )
@@ -241,7 +252,12 @@ def location_col(
             text,
             r"(?:(?<![A-Za-z])[apAP]\.?[mM]|\d)[\s ]+(?!Meet |Call |Review |Discuss )"
             rf"(?!{MONTH_WORD} )(?![AP]M\b)"
-            r"([A-Z][A-Za-z0-9-]*(?: [A-Z][A-Za-z0-9]*)+)\b(?! ?\d)(?!,)",
+            # optional trailing room NUMBER ("Office Room 101") is part of the
+            # location; trailing guards block only date/time digits (9:30,
+            # 16/11, 2024-…) so a following duration ("1hr") no longer kills
+            # the match
+            r"([A-Z][A-Za-z0-9\u00c0-\u017e-]*(?: [A-Z][A-Za-z0-9\u00c0-\u017e]*)+"
+            r"(?: \d{1,3}(?![\w:/.-]))?)\b(?! ?\d+[:/-])(?! ?\d{4}\b)(?!,)",
             1,
         )
     )
@@ -249,7 +265,7 @@ def location_col(
     bare_virtual = _ne(
         F.regexp_extract(
             text,
-            r"(?:(?<![A-Za-z])[apAP]\.?[mM]|\d)[\s ]+(virtual|online)\b",
+            r"(?:(?<![A-Za-z])[apAP]\.?[mM]|\d)[\s ]+(virtual|online|video chat|video call)\b",
             1,
         )
     )
@@ -271,7 +287,7 @@ def location_col(
                 text,
                 r"(?:(?<![A-Za-z])[apAP]\.?[mM]|\d)[\s  ]+(?!Meet\b|Call\b)"
                 rf"(?!{MONTH_WORD}\b)(?![AP]M\b)"
-                r"([A-Z][\w'’]+)\b(?![,.])",
+                r"([A-Z][\w'’\u00c0-\u017e]+)\b(?![,.])",
                 1,
             )
         )
@@ -323,11 +339,19 @@ def build_lexicons(corpus_texts: DataFrame, text_col: str = "text", top_k: int =
         .limit(top_k)
     )
     med_alt = "|".join(DEFAULT_MEDIUMS)
+    mined_phys = _ne(F.regexp_extract(t, PHYS_LOC_RE, 1))
     locs = (
         corpus_texts.select(
             F.coalesce(
                 _ne(F.regexp_extract(t, rf"\b(?:hosted on|on|via|over|using) ({med_alt})\b", 1)),
-                _ne(F.regexp_extract(t, PHYS_LOC_RE, 1)),
+                # same article policy as location_col: strip "the " except
+                # for the train-majority keep nouns
+                F.when(
+                    F.lower(mined_phys).isin(
+                        [f"the {n}" for n in THE_KEEP_NOUNS]
+                    ),
+                    mined_phys,
+                ).otherwise(F.regexp_replace(mined_phys, r"^the ", "")),
             ).alias("loc")
         )
         .filter(F.col("loc").isNotNull())
