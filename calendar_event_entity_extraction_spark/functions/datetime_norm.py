@@ -61,10 +61,14 @@ _SEP = "[\\s ]*"
 T_AMPM_RE = rf"\b(\d{{1,2}})(?::([0-5]\d))?{_SEP}([apAP])\.?[mM]\b"
 T_24_RE = rf"\b(?:[01]?\d|2[0-3]):[0-5]\d\b(?!{_SEP}[apAP]\.?[mM])"
 
-# lowercase-only (no (?i)): "w/ HR 30min" must not match unit "hr" on "HR"
+# lowercase-only (no (?i)): "w/ HR 30min" must not match unit "hr" on "HR".
+# The unit must carry a descriptor and/or a quantity — a BARE "hour" is
+# never a duration mention ("Plan social hour …" golds the trailing "2hrs",
+# not the action's "hour"), so the neither-branch is excluded.
+_DUR_QTY = r"(?:a few |a couple (?:of )?|an? |one[- ]|half an? |a full |\d+(?:\.\d+)? ?|\d+)"
 DUR_RE = (
-    r"\b((?:about |around |roughly |a solid |~ ?)?"
-    r"(?:a few |a couple (?:of )?|an? |one[- ]|half an? |\d+(?:\.\d+)? ?|\d+)?-?"
+    r"\b((?:(?:about |around |roughly |a solid |~ ?)"
+    rf"{_DUR_QTY}?|{_DUR_QTY})-?"
     r"(?:hours?|hrs?|hr|minutes?|mins?|min|h|m)\b(?: and a half)?)"
 )
 
@@ -279,7 +283,8 @@ _DUR_TRANSFORMS = [
     (r"(?i)^(?:about|around|roughly|a solid|~) ?", ""),
     (r"(?i)^half an? hour$", "30 minutes"),
     (r"(?i)^(?:an?|one) hour and a half$", "1 hour 30 minutes"),
-    (r"(?i)^(?:an?|one)[- ]hour$", "1 hour"),
+    (r"(?i)^a couple (?:of )?hours$", "2 hours"),
+    (r"(?i)^(?:an?|one|a full)[- ]hour$", "1 hour"),
     (r"(?i)^hour$", "1 hour"),
     (r"(\d)mins\b", "$1 mins"),
     (r"(\d)-hour\b", "$1 hours"),
@@ -291,6 +296,11 @@ _DUR_TRANSFORMS = [
 # where the annotation keeps it verbatim (measured 13:0 verbatim in that
 # cluster vs 21:5 expanded elsewhere)
 _ORDINAL_STYLE_RE = r"\d{1,2}(?:st|nd|rd|th), [A-Z][a-z]{2,8} \d{4}"
+
+# "Mon D, YYYY" telegraph register ("Finalize quote Feb 18, 2024 9am 1hr"):
+# compact "1hr" expands to "1 hour" there (train 8:2 — every other register
+# keeps it verbatim; restricted to exactly 1hr, the only observed form)
+_MONNAME_STYLE_RE = r"[A-Z][a-z]{2,8} \d{1,2}, \d{4}"
 
 
 def duration_norm_col(text: Column) -> Column:
@@ -312,4 +322,7 @@ def duration_norm_col(text: Column) -> Column:
         text.rlike(_ORDINAL_STYLE_RE),
         out,
     ).otherwise(F.regexp_replace(out, r"(\d) ?min\b", "$1 minutes"))
+    out = F.when(
+        text.rlike(_MONNAME_STYLE_RE) & (out == F.lit("1hr")), F.lit("1 hour")
+    ).otherwise(out)
     return F.coalesce(out, range_duration_col(text))
