@@ -71,12 +71,14 @@ _MONTH_STOP = (
 # a bare medium mention; joiners: ", and" ", " " and " " & " " + "
 _ATT_STOP = (
     r"(?= on | at | in | from | for | lasting | via | over | using "
-    r"| planned | arranged | hosted | scheduled "
+    r"| planned | arranged | hosted | scheduled | online\b| virtual\b"
     r"| (?:Zoom|Google Meet|Microsoft Teams|Microsoft|Teams|Skype|Webex|BlueJeans)\b"
     rf"| {MONTH_WORD}\.?,? ?\d"
-    r"|, (?!and )[a-z]|,? ?\d|[.(]|$)"
+    r"| ?– |, (?!and )[a-z]|,? ?\d|[.(]|$)"
 )
-WITH_RE = rf"\b(?:together with|with|w/) (.+?){_ATT_STOP}"
+# the month-date guard skips "w/ June 27th, Nov 2023" — that "June" is the
+# date register, not the attendee June (gold: attendees null)
+WITH_RE = rf"\b(?:together with|with|w/) (?!{MONTH_WORD}\.?,? ?\d)(.+?){_ATT_STOP}"
 # bare name LIST: a comma-joined chain of ≥2 Capitalized names (a lone bare
 # token could equally be a location, so singles need the name pool)
 NAME_NM = rf"(?!{MONTH_WORD} \d)[A-Z][a-z]+"
@@ -203,9 +205,17 @@ def attendees_col(text: Column, name_pool: list[str] | None = None) -> Column:
     phrase = F.coalesce(
         _ne(F.regexp_extract(text, WITH_RE, 1)),
         _ne(F.regexp_extract(text, BARE_RE, 1)),
-        # "Meet X at …" — the verb's object is the attendee (corpus); the
-        # capitalization requirement keeps ordinary nouns out
-        _ne(F.regexp_extract(text, r"(?:^|[\s ])Meet ([A-Z][a-z]+)\b", 1)),
+        # "Meet X at …" / "Call X <date>" — the verb's object is the
+        # attendee (corpus: 'Call Ben' → ['Ben']); capitalization keeps
+        # ordinary nouns out, the month guard keeps dates out ("Call Feb
+        # 15", "Google Meet March 7")
+        _ne(
+            F.regexp_extract(
+                text,
+                rf"(?:^|[\s ])(?:Meet|Call) (?!{MONTH_WORD}\b)([A-Z][a-z]+)\b",
+                1,
+            )
+        ),
     )
     if name_pool:
         alt = "|".join(sorted((_re.escape(n) for n in name_pool), key=len, reverse=True))
