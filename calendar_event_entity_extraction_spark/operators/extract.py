@@ -51,11 +51,20 @@ REC_RE = rf"\b({REC_ALT})\b"
 NAME = r"[A-Z][a-z]+"
 
 # clause markers that end a free-text span (action / attendee / location)
+# " for " stops only before a duration / date / "it" — gold actions run
+# THROUGH a topical for ("Add a slot for feedback sessions", "Plan for a
+# progress update"; 7 keep-through-for golds, 0 stop-before-topical-for)
+_FOR_STOP = (
+    r" for (?=(?:about |around |roughly |a solid |a full |an hour|a few "
+    r"|a couple |half an|one hour|one[- ]hour|it\b|\d)"
+    rf"|{MONTH_WORD}\.?,? ?\d)"
+)
 _STOP = (
     # " over " stops only before a medium — corpus actions KEEP phrasal
     # over ("Go over notes", "Chat over strategy"; 0 rows need a bare stop)
-    r" with | w/ | at | in | from | for | lasting | via | using "
-    r"| planned | arranged | to |: |, [a-z0-9]|,? \d|,\d| on (?=\d|the |today|tomorrow)"
+    r" with | w/ | at | in | from |" + _FOR_STOP + r"| lasting | via | using "
+    r"| planned | arranged | (?:re)?scheduled | to |: "
+    r"|, [a-z0-9]|,? \d|,\d| on (?=\d|the |today|tomorrow)"
     rf"| on {MONTH_WORD}(?=\.?,? ?\d)"
     r"| (?:on|via|over|using) (?=(?:Zoom|Google Meet|Microsoft Teams|Teams"
     r"|Skype|Webex|BlueJeans|Slack huddle|Slack|Meet|phone)\b)"
@@ -94,7 +103,7 @@ _LOC_STOP = (
     r"|,? ?\d+ ?-?(?:[apAP]\.?[mM]|hours?|hrs?|hr|minutes?|mins?|min|h\b|m\b))"
 )
 PHYS_LOC_RE = (
-    rf"(?<![\w-])(?:at|in|by) (?!\d|noon\b|time\b|a |an |with |w/ )"
+    rf"(?<![\w-])(?:at|in|by) (?!\d|noon\b|time\b|a |an |for |with |w/ )"
     rf"((?:the )?[A-Za-z][A-Za-z0-9\u00c0-\u00ff'\u2019& ,-]*?){_LOC_STOP}"
 )
 # nouns whose train-split gold majority KEEPS the article ("the studio" \u00d72,
@@ -138,8 +147,9 @@ def lead_med_col(text: Column) -> Column:
 # leading-medium rows, where the action phrase runs THROUGH the medium up
 # to the date ("Sync on Teams March 15" → "Sync on Teams")
 _STOP_NOMED = (
-    r" with | w/ | at | in | from | for | lasting "
-    r"| planned | arranged | to |: |, [a-z0-9]|,? \d|,\d| on (?=\d|the |today|tomorrow)"
+    r" with | w/ | at | in | from |" + _FOR_STOP + r"| lasting "
+    r"| planned | arranged | (?:re)?scheduled | to |: "
+    r"|, [a-z0-9]|,? \d|,\d| on (?=\d|the |today|tomorrow)"
     rf"| on {MONTH_WORD}(?=\.?,? ?\d)"
     r"|\.|$"
 )
@@ -180,7 +190,8 @@ def action_col(text: Column, name_pool: list[str] | None = None) -> Column:
     scaffold = _ne(
         F.regexp_extract(
             stripped,
-            rf"^(?:Add|Organize|Pencil in|Put in) (?:a )?time (?:for|to) "
+            rf"^(?:(?:Add|Organize|Pencil in|Put in) (?:a )?time (?:for|to)"
+            rf"|Book (?:a )?time to|Book me in for|Put down) "
             rf"(?:(?:a|an|the) )?({ACTION_BODY})(?={_STOP}{_MONTH_STOP}{_MED_STOP})",
             1,
         )
@@ -296,6 +307,16 @@ def location_col(
             r"(?:(?<![A-Za-z])[apAP]\.?[mM]|\d)[\s ]+(virtual|online|video chat|video call)\b",
             1,
         )
+    )
+    # dangling venue word at text end ("… Alex, Megan, Leo online" — the
+    # corpus golds a trailing online/virtual as the location, 11:0)
+    bare_virtual = F.coalesce(
+        bare_virtual,
+        _ne(
+            F.regexp_extract(
+                text, r"[a-z] (virtual|online|video chat|video call)\.?$", 1
+            )
+        ),
     )
     out = F.coalesce(med, phys, bare_multi, bare_virtual, bare_med)
     if location_pool:
