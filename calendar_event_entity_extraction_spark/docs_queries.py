@@ -529,6 +529,38 @@ SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5
 """
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (training-batch assembly), sharded by
+    the portable Knuth hash so no global sort exists; the DuckDB oracle
+    replicates shard hash, stable ordering, and the cumulative-sum cut."""
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), "doc_id", "text", budget=256, shards=8
+    ).select("doc_id", "shard", "n_tokens", "pack_id")
+
+
+_NTOK_SQL = (
+    "CASE WHEN len(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+
+O_SEQUENCE_PACKING = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST({_NTOK_SQL} AS BIGINT) AS n_tokens,
+         ((doc_id % 1000000007) * 2654435761) % 8 AS shard
+  FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / 256) AS BIGINT) AS pack_id
+FROM d
+"""
+
+
 # ---------------------------------------------------------------- catalog
 
 
@@ -549,6 +581,7 @@ def docs_queries() -> dict:
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_neardup": q_embedding_neardup,
         "curation_pipeline": q_curation_pipeline,
+        "sequence_packing": q_sequence_packing,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -570,5 +603,6 @@ def docs_oracles() -> dict:
         "jaccard_pairs": O_JACCARD_PAIRS,
         "embedding_neardup": O_EMBEDDING_NEARDUP,
         "curation_pipeline": O_CURATION,
+        "sequence_packing": O_SEQUENCE_PACKING,
         "multimodal_features": O_MULTIMODAL,
     }

@@ -65,12 +65,14 @@ def _accuracies(spark, rows, pools):
     return {f: acc[f] / len(rows) for f in FIELDS}
 
 
-@pytest.mark.parametrize("split,mean_floor", [("eval", 0.93), ("test", 0.93)])
+# floors sit ~1 point under the measured 0.984 eval / 0.981 test means so
+# the gate locks in the late-round-2 parity gains (reference model ≈0.971)
+@pytest.mark.parametrize("split,mean_floor", [("eval", 0.97), ("test", 0.97)])
 def test_reference_heldout_parity(spark, pools, split, mean_floor):
     acc = _accuracies(spark, _load(split), pools)
     mean = sum(acc.values()) / len(acc)
     assert mean >= mean_floor, acc
     for f in FIELDS:
-        assert acc[f] >= 0.85, (f, acc)
+        assert acc[f] >= 0.90, (f, acc)
     # date/time must clear the 0.95 bar outright
     assert acc["date"] >= 0.95 and acc["time"] >= 0.95, acc
