@@ -154,6 +154,7 @@ def main() -> None:
             "augment_pipeline",
             "dedup_exact",
             "minhash_neardup",
+            "neardup_clusters",
             "simhash",
             "multimodal_features",
             "text_stats",

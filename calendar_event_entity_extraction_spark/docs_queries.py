@@ -149,6 +149,86 @@ def q_minhash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "n_inter", "n_union")
 
 
+def _docs_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_docs_planted` plus a SECOND mutation generation for doc_id%20==3
+    (two more tail tokens on top of the first mutation): x ~ x+2M ~ x+3M
+    where the x ~ x+3M hop may fall below the Jaccard threshold for short
+    docs — exactly the transitive case pair-level near-dup cannot close."""
+    base = _docs_planted(spark, sf_dir)
+    mut2 = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 20 == 3)
+        .select(
+            (F.col("doc_id") + 3 * PLANT_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra tail tokens and more")).alias(
+                "text"
+            ),
+        )
+    )
+    return base.unionByName(mut2)
+
+
+_CHAINED_SQL = f"""
+chained AS (
+  SELECT doc_id, text FROM planted
+  UNION ALL
+  SELECT doc_id + {3 * PLANT_OFFSET} AS doc_id,
+         text || ' extra tail tokens and more' AS text
+  FROM documents WHERE doc_id % 20 = 3
+)
+"""
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> duplicate CLUSTERS via connected components
+    (alternating large-star/small-star), plus the first-wins
+    representative: the transitive-closure step every web-scale dedup
+    pipeline runs after LSH. cluster_id = min doc_id in the component."""
+    from .operators.resolve import connected_components
+
+    pairs = minhash_near_duplicates(
+        _docs_chained(spark, sf_dir), "doc_id", "text",
+        threshold=0.6, perms=8, rows_per_band=2,
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    return labels.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("cluster_id"),
+    )
+
+
+O_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE {_PLANTED_SQL}, {_CHAINED_SQL},
+t AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM chained),
+sigs AS (SELECT doc_id, {", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(8))} FROM t),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN t a ON c.id_a = a.doc_id JOIN t b ON c.id_b = b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) >= 0.6 * len(list_distinct(list_concat(a.sh, b.sh)))
+),
+bi AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(node, r) AS (
+  SELECT u, v FROM bi
+  UNION
+  SELECT walk.node, bi.v FROM walk JOIN bi ON bi.u = walk.r
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(least(node, min(r)) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", simhash16_col(F.col("text")).cast("long").alias("simhash")
@@ -570,6 +650,7 @@ def docs_queries() -> dict:
         "minhash_signatures": q_minhash_signatures,
         "minhash_neardup": q_minhash_neardup,
         "minhash_neardup_capped": q_minhash_neardup_capped,
+        "neardup_clusters": q_neardup_clusters,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "hash_split": q_hash_split,
@@ -592,6 +673,7 @@ def docs_oracles() -> dict:
         "minhash_signatures": O_MINHASH_SIG,
         "minhash_neardup": O_MINHASH_NEARDUP,
         "minhash_neardup_capped": O_MINHASH_NEARDUP,
+        "neardup_clusters": O_NEARDUP_CLUSTERS,
         "simhash": O_SIMHASH,
         "simhash_neardup": O_SIMHASH_NEARDUP,
         "hash_split": O_HASH_SPLIT,

@@ -1,0 +1,104 @@
+"""Connected components over an edge list — entity/duplicate resolution.
+
+Near-duplicate detection (MinHash LSH, SimHash, embedding cosine) emits
+PAIRS; a real curation pipeline must transitively merge them into CLUSTERS
+(a ~ b, b ~ c => {a, b, c}) and keep one representative per cluster. The
+same primitive resolves co-referent KG entities (alias edges -> canonical
+entity id). The reference resolves co-referent events only within a
+conversation (SURVEY.md north_rule window canonicalization); this operator
+is the cross-document generalization a 100 TB corpus needs.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi, Mirrokni,
+Rastogi, Vassilvitskii, "Connected Components in MapReduce and Beyond",
+ACM SoCC 2014). Each half-round is a groupBy-min + self-join on the edge
+list — no per-node adjacency lists are ever materialized (no collect_list,
+so a hot node with millions of neighbors never concentrates in one task's
+memory; the groupBy is a partial-aggregating MIN). Converges in
+O(log^2 n) rounds regardless of component diameter — unlike plain min-label
+propagation, whose round count is the graph DIAMETER (a 10^6-node chain of
+boilerplate near-dups would take 10^6 rounds; star rounds collapse it in
+~20). Each round `localCheckpoint`s to truncate lineage (on a cluster:
+`checkpoint` to durable storage for task-retry safety).
+
+Determinism: no RNG; edge sets are canonicalized (min, max) + distinct, so
+every round is a pure function of the input edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as distinct (u=min, v=max), self-loops dropped."""
+    return (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor LARGER than u to u's min-neighborhood node."""
+    bidir = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = bidir.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = m.select("u", F.least("u", "_mn").alias("m"))
+    return _canonical(
+        bidir.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor SMALLER than u (and u) to the min of them."""
+    # canonical edges already have u < v: group by the larger endpoint v
+    m = edges.groupBy("v").agg(F.min("u").alias("m"))
+    joined = edges.join(m, "v")
+    star = joined.select(F.col("u"), F.col("m").alias("v")).unionByName(
+        joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return _canonical(star)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node, comp) labels; comp = the component's minimum node id.
+
+    Input: any edge list (ids must be orderable — use xxhash64 of a string
+    key upstream if needed). Nodes with no edge are absent from the output
+    (they are their own singleton components by definition).
+    """
+    cur = _canonical(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        # both sides are distinct canonical sets: equal counts + empty
+        # one-sided difference <=> set equality
+        if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
+            cur = nxt
+            break
+        cur = nxt
+    # at fixpoint every canonical edge is a star edge (component_min, member)
+    return cur.select(F.col("v").alias("node"), F.col("u").alias("comp")).unionByName(
+        cur.select(F.col("u").alias("node"), F.col("u").alias("comp")).distinct()
+    )
+
+
+def cluster_representatives(labels: DataFrame) -> DataFrame:
+    """(comp, n_members) per cluster — the keep-one-per-cluster summary.
+
+    ``comp`` is the minimum member id, i.e. the first-wins representative,
+    matching `dedup_first_wins` semantics at cluster granularity.
+    """
+    return labels.groupBy("comp").agg(F.count("*").alias("n_members"))
