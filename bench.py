@@ -158,6 +158,8 @@ def main() -> None:
             "simhash",
             "multimodal_features",
             "text_stats",
+            "mixture_sample",
+            "repetition_stats",
             "ann_topk",
             "ann_lsh_topk",
             "ann_ivf_topk",

@@ -149,6 +149,68 @@ def q_minhash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "n_inter", "n_union")
 
 
+MIXTURE_WEIGHTS = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.75}
+MIXTURE_SEED = 11
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture sampling: per-language keep probabilities
+    via a seeded portable hash — a single narrow filter, no RNG/shuffle."""
+    from .operators.sampling import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source"),
+        "lang",
+        MIXTURE_WEIGHTS,
+        "doc_id",
+        seed=MIXTURE_SEED,
+    )
+
+
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {int(round(w * 1_000_000))}"
+    for k, w in sorted(MIXTURE_WEIGHTS.items())
+) + " ELSE 0 END"
+
+O_MIXTURE_SAMPLE = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ((doc_id + {MIXTURE_SEED}) % 1000000007) * 2654435761 % 1000000 < {_MIX_CASE}
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (exact integers + integer
+    cross-multiplied keep flag)."""
+    from .functions.text import repetition_struct
+
+    return _docs(spark, sf_dir).select("doc_id", *repetition_struct(F.col("text")))
+
+
+O_REPETITION = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+s AS (
+  SELECT doc_id, tk, list_distinct(tk) AS dk,
+         list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
+  FROM t
+),
+u AS (
+  SELECT doc_id, len(tk) AS n, len(dk) AS nd,
+         list_max(list_transform(dk, w -> len(list_filter(tk, x -> x = w)))) AS top,
+         len(bg) AS n_bg, len(list_distinct(bg)) AS nd_bg
+  FROM s
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(nd AS BIGINT) AS n_distinct,
+       CAST(top AS BIGINT) AS top_token_count,
+       CAST(n_bg AS BIGINT) AS n_bigrams,
+       CAST(nd_bg AS BIGINT) AS n_distinct_bigrams,
+       (nd * 10 >= n * 3 AND top * 5 <= n AND (n_bg - nd_bg) * 2 <= n_bg)
+         AS keep_repetition
+FROM u
+"""
+
+
 def _docs_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`_docs_planted` plus a SECOND mutation generation for doc_id%20==3
     (two more tail tokens on top of the first mutation): x ~ x+2M ~ x+3M
@@ -651,6 +713,8 @@ def docs_queries() -> dict:
         "minhash_neardup": q_minhash_neardup,
         "minhash_neardup_capped": q_minhash_neardup_capped,
         "neardup_clusters": q_neardup_clusters,
+        "mixture_sample": q_mixture_sample,
+        "repetition_stats": q_repetition_stats,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "hash_split": q_hash_split,
@@ -674,6 +738,8 @@ def docs_oracles() -> dict:
         "minhash_neardup": O_MINHASH_NEARDUP,
         "minhash_neardup_capped": O_MINHASH_NEARDUP,
         "neardup_clusters": O_NEARDUP_CLUSTERS,
+        "mixture_sample": O_MIXTURE_SAMPLE,
+        "repetition_stats": O_REPETITION,
         "simhash": O_SIMHASH,
         "simhash_neardup": O_SIMHASH_NEARDUP,
         "hash_split": O_HASH_SPLIT,

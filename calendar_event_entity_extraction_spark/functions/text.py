@@ -61,6 +61,50 @@ def quality_struct(text: Column) -> list[Column]:
     ]
 
 
+def repetition_struct(text: Column) -> list[Column]:
+    """Gopher-style within-document repetition signals, exact integers only
+    (Rae et al. 2021 §A1.1 filter degenerate/boilerplate docs by repeated
+    n-gram mass). All higher-order array functions — narrow, codegen'd, no
+    Python. top_token_count is O(n_tokens × n_distinct) per document; docs
+    are bounded (post length-filter) so this stays a per-row constant, and
+    a skewed giant doc degrades one task, never a shuffle.
+
+    keep_repetition: distinct/total ≥ 0.3 AND top-token mass ≤ 0.2 AND
+    duplicate-bigram mass ≤ 0.5 — integer cross-multiplication, no floats.
+    """
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    dist = F.array_distinct(toks)
+    n = F.size(toks)
+    nd = F.size(dist)
+    top = F.array_max(
+        F.transform(dist, lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    )
+    # bigrams: zip each token with its successor; zip_with pads the shorter
+    # side with null, so the trailing (last, null) pair filters out
+    bg = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(1))),
+            lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    n_bg = F.size(bg)
+    nd_bg = F.size(F.array_distinct(bg))
+    return [
+        n.cast("long").alias("n_tokens"),
+        nd.cast("long").alias("n_distinct"),
+        top.cast("long").alias("top_token_count"),
+        n_bg.cast("long").alias("n_bigrams"),
+        nd_bg.cast("long").alias("n_distinct_bigrams"),
+        (
+            (nd * 10 >= n * 3)
+            & (top * 5 <= n)
+            & ((n_bg - nd_bg) * 2 <= n_bg)
+        ).alias("keep_repetition"),
+    ]
+
+
 def lang_id_col(text: Column, en_threshold: float = 0.1) -> Column:
     """Heuristic language ID: English iff stopword token ratio clears the
     threshold. (A real system uses char n-gram profiles; the Spark-side

@@ -1,0 +1,64 @@
+"""Mixture sampling determinism/proportions + repetition signals."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from calendar_event_entity_extraction_spark.functions.text import repetition_struct
+from calendar_event_entity_extraction_spark.operators.sampling import mixture_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(3000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_mixture_proportions_and_determinism(docs):
+    w = {"en": 0.5, "de": 1.0}  # fr absent -> dropped
+    out = mixture_sample(docs, "lang", w, "doc_id", seed=11)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "fr" not in counts
+    assert counts["de"] == 1000  # weight 1.0 keeps everything
+    assert 400 <= counts["en"] <= 600  # ~0.5 of 1000
+    # identical result on re-run (no RNG)
+    again = mixture_sample(docs, "lang", w, "doc_id", seed=11)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # a different seed samples a different subset of en
+    other = mixture_sample(docs, "lang", w, "doc_id", seed=12)
+    assert {r["doc_id"] for r in out.collect()} != {r["doc_id"] for r in other.collect()}
+
+
+def test_mixture_is_narrow_filter(docs):
+    plan = mixture_sample(docs, "lang", {"en": 0.5}, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: pure filter
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),  # all distinct
+        (2, "x x x x"),            # fully degenerate
+        (3, "a b a b a b"),        # repeated bigram pattern
+        (4, "solo"),               # single token, no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in df.select("doc_id", *repetition_struct(F.col("text"))).collect()}
+
+    assert out[1]["n_tokens"] == 10 and out[1]["n_distinct"] == 10
+    assert out[1]["top_token_count"] == 1
+    assert out[1]["n_bigrams"] == 9 and out[1]["n_distinct_bigrams"] == 9
+    assert out[1]["keep_repetition"] is True
+
+    assert out[2]["n_distinct"] == 1 and out[2]["top_token_count"] == 4
+    assert out[2]["n_bigrams"] == 3 and out[2]["n_distinct_bigrams"] == 1
+    assert out[2]["keep_repetition"] is False
+
+    assert out[3]["n_tokens"] == 6 and out[3]["n_distinct"] == 2
+    assert out[3]["top_token_count"] == 3
+    # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+    assert out[3]["n_bigrams"] == 5 and out[3]["n_distinct_bigrams"] == 2
+    assert out[3]["keep_repetition"] is False  # dup-bigram mass 3/5 > 0.5
+
+    assert out[4]["n_tokens"] == 1 and out[4]["n_bigrams"] == 0
+    assert out[4]["keep_repetition"] is False  # top mass 1/1 > 0.2
