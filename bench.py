@@ -26,6 +26,32 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _md5_burn(mb: int) -> str:
+    import hashlib
+
+    block = b"x" * (1 << 20)
+    h = hashlib.md5()
+    for _ in range(mb):
+        h.update(block)
+    return h.hexdigest()
+
+
+def host_cpu_probe(n_procs: int = 8, mb_per_proc: int = 256) -> float:
+    """Pure-CPU host calibration: wall seconds for ``n_procs`` processes to
+    each md5-hash ``mb_per_proc`` MB. No JVM, no Spark — the number tracks
+    the host's raw compute throughput, so bench JSONs from different VMs
+    can be NORMALIZED instead of explained after the fact (BENCH.md round-2
+    cross-VM disclosure: identical code measured 3-5x apart across a VM
+    swap). Recorded as ``extra.host_factor_sec``; divide query seconds by
+    (host_factor_sec / a reference probe) to compare across hosts."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.Pool(n_procs) as p:
+        p.map(_md5_burn, [mb_per_proc] * n_procs)
+    return time.time() - t0
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -105,6 +131,9 @@ def time_extraction_throughput(spark, tr_path: str) -> dict:
 def main() -> None:
     throughput_only = "--throughput-only" in sys.argv
 
+    # host calibration BEFORE the JVM exists (solo CPU, nothing contending)
+    host_factor = round(host_cpu_probe(), 3)
+
     from calendar_event_entity_extraction_spark.session import get_spark
 
     # pin JVM background threads to the simulated core count — a real N-core
@@ -135,6 +164,7 @@ def main() -> None:
             "triples_per_sec": round(thr["triples_per_sec"], 1),
             "n_triples": thr["n_triples"],
             "cpus": int(CPUS),
+            "host_factor_sec": host_factor,
         }
 
     if not throughput_only:
@@ -155,8 +185,10 @@ def main() -> None:
             "dedup_exact",
             "minhash_neardup",
             "neardup_clusters",
+            "curation_full",
             "simhash",
             "multimodal_features",
+            "multimodal_decode",
             "text_stats",
             "mixture_sample",
             "repetition_stats",
@@ -206,6 +238,7 @@ def main() -> None:
             "triples_per_sec": round(thr["triples_per_sec"], 1),
             "n_triples": thr["n_triples"],
             "cpus": int(CPUS),
+            "host_factor_sec": host_factor,
         }
 
     result = {

@@ -25,7 +25,6 @@ from .operators.dedup import (
     dedup_first_wins,
     minhash_near_duplicates,
     minhash_signature,
-    simhash16_col,
 )
 from .operators.similarity import brute_force_topk
 from .operators.splits import assign_split, drop_split_leakage
@@ -75,6 +74,12 @@ list_distinct(list_transform(
 
 def _mh_sql(j: int) -> str:
     return f"list_aggregate(list_transform(sh, s -> md5('{j}|' || s)), 'min')"
+
+
+_NTOK_SQL = (
+    "CASE WHEN len(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
 
 
 # ---------------------------------------------------------------- dedup
@@ -174,30 +179,72 @@ _MIX_CASE = "CASE lang " + " ".join(
 
 O_MIXTURE_SAMPLE = f"""
 SELECT doc_id, lang, source FROM documents
-WHERE ((doc_id + {MIXTURE_SEED}) % 1000000007) * 2654435761 % 1000000 < {_MIX_CASE}
+WHERE ((((doc_id % 1000000007) + {MIXTURE_SEED}) % 1000000007)
+       * 2654435761 % 1000000007) * 2654435761 % 1000000 < {_MIX_CASE}
 """
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality signals (exact integers + integer
-    cross-multiplied keep flag)."""
-    from .functions.text import repetition_struct
+    """The FULL Gopher §A1.1 repetition family (exact integers + integer
+    cross-multiplied keep flags): token/bigram signals, heaviest
+    {2,3,4}-gram character mass, duplicate {5..10}-gram character mass."""
+    from .functions.text import repetition_struct_full
 
-    return _docs(spark, sf_dir).select("doc_id", *repetition_struct(F.col("text")))
+    return _docs(spark, sf_dir).select(
+        "doc_id", *repetition_struct_full(F.col("text"))
+    )
 
+
+def _gram_sql(n: int) -> str:
+    cat = " || ' ' || ".join("tk[i]" if j == 0 else f"tk[i+{j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, greatest(len(tk) - {n} + 1, 0) + 1), "
+        f"i -> {cat})"
+    )
+
+
+def _top_gram_sql(n: int) -> str:
+    return (
+        f"COALESCE(list_max(list_transform(list_distinct(g{n}), "
+        f"t -> len(list_filter(g{n}, x -> x = t)) * length(t))), 0)"
+    )
+
+
+def _dup_gram_sql(n: int) -> str:
+    return (
+        f"COALESCE(list_sum(list_transform(list_distinct(g{n}), "
+        f"t -> CASE WHEN len(list_filter(g{n}, x -> x = t)) >= 2 "
+        f"THEN len(list_filter(g{n}, x -> x = t)) * length(t) ELSE 0 END)), 0)"
+    )
+
+
+_GOPHER_TOP_PCT = {2: 20, 3: 18, 4: 16}
+_GOPHER_DUP_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+_KEEP_BASIC_SQL = "(nd * 10 >= n * 3 AND top * 5 <= n AND (n_bg - nd_bg) * 2 <= n_bg)"
+_KEEP_FULL_SQL = " AND ".join(
+    [_KEEP_BASIC_SQL]
+    + [f"top{n} * 100 <= n_chars_norm * {p}" for n, p in _GOPHER_TOP_PCT.items()]
+    + [f"dup{n} * 100 <= n_chars_norm * {p}" for n, p in _GOPHER_DUP_PCT.items()]
+)
 
 O_REPETITION = f"""
 WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
-s AS (
-  SELECT doc_id, tk, list_distinct(tk) AS dk,
-         list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
+g AS (
+  SELECT doc_id, tk,
+         length(array_to_string(tk, ' ')) AS n_chars_norm,
+         {", ".join(f"{_gram_sql(n)} AS g{n}" for n in range(2, 11))}
   FROM t
 ),
 u AS (
-  SELECT doc_id, len(tk) AS n, len(dk) AS nd,
-         list_max(list_transform(dk, w -> len(list_filter(tk, x -> x = w)))) AS top,
-         len(bg) AS n_bg, len(list_distinct(bg)) AS nd_bg
-  FROM s
+  SELECT doc_id, n_chars_norm,
+         len(tk) AS n, len(list_distinct(tk)) AS nd,
+         list_max(list_transform(list_distinct(tk),
+                                 w -> len(list_filter(tk, x -> x = w)))) AS top,
+         len(g2) AS n_bg, len(list_distinct(g2)) AS nd_bg,
+         {", ".join(f"{_top_gram_sql(n)} AS top{n}" for n in _GOPHER_TOP_PCT)},
+         {", ".join(f"{_dup_gram_sql(n)} AS dup{n}" for n in _GOPHER_DUP_PCT)}
+  FROM g
 )
 SELECT doc_id,
        CAST(n AS BIGINT) AS n_tokens,
@@ -205,8 +252,11 @@ SELECT doc_id,
        CAST(top AS BIGINT) AS top_token_count,
        CAST(n_bg AS BIGINT) AS n_bigrams,
        CAST(nd_bg AS BIGINT) AS n_distinct_bigrams,
-       (nd * 10 >= n * 3 AND top * 5 <= n AND (n_bg - nd_bg) * 2 <= n_bg)
-         AS keep_repetition
+       {_KEEP_BASIC_SQL} AS keep_repetition,
+       CAST(n_chars_norm AS BIGINT) AS n_chars_norm,
+       {", ".join(f"CAST(top{n} AS BIGINT) AS top{n}gram_chars" for n in _GOPHER_TOP_PCT)},
+       {", ".join(f"CAST(dup{n} AS BIGINT) AS dup{n}gram_chars" for n in _GOPHER_DUP_PCT)},
+       ({_KEEP_FULL_SQL}) AS keep_repetition_full
 FROM u
 """
 
@@ -292,9 +342,13 @@ FROM walk GROUP BY node
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs(spark, sf_dir).select(
-        "doc_id", simhash16_col(F.col("text")).cast("long").alias("simhash")
-    )
+    """Production simhash path (one md5 per token; `with_simhash16`), pinned
+    against the DuckDB per-bit spec oracle."""
+    from .operators.dedup import with_simhash16
+
+    return with_simhash16(
+        _docs(spark, sf_dir).select("doc_id", "text"), "text"
+    ).select("doc_id", F.col("simhash").cast("long").alias("simhash"))
 
 
 _SIMHASH_BITS = " + ".join(
@@ -449,6 +503,141 @@ FROM t
 """
 
 
+def _docs_chained_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_docs_chained` carrying the lang column (copies keep their source
+    doc's lang) — input fixture for the full curation composite, where the
+    mixture-sampling stage needs a stratum column."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    ident = d.filter(F.col("doc_id") % 20 == 7).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text", "lang"
+    )
+    mut = d.filter(F.col("doc_id") % 20 == 3).select(
+        (F.col("doc_id") + 2 * PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail tokens")).alias("text"),
+        "lang",
+    )
+    mut2 = d.filter(F.col("doc_id") % 20 == 3).select(
+        (F.col("doc_id") + 3 * PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail tokens and more")).alias("text"),
+        "lang",
+    )
+    return d.unionByName(ident).unionByName(mut).unionByName(mut2)
+
+
+_CHAINED_LANG_SQL = f"""
+chained_l AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET} AS doc_id, text, lang
+  FROM documents WHERE doc_id % 20 = 7
+  UNION ALL
+  SELECT doc_id + {2 * PLANT_OFFSET} AS doc_id,
+         text || ' extra tail tokens' AS text, lang
+  FROM documents WHERE doc_id % 20 = 3
+  UNION ALL
+  SELECT doc_id + {3 * PLANT_OFFSET} AS doc_id,
+         text || ' extra tail tokens and more' AS text, lang
+  FROM documents WHERE doc_id % 20 = 3
+)
+"""
+
+
+def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation composite a 100-TB training run executes as
+    ONE DAG: quality gate → Gopher repetition filter → exact dedup →
+    MinHash-LSH near-dup pairs → connected-components cluster drop →
+    deterministic mixture sample → hash split → sequence packing. Every
+    stage's semantics are individually oracle-pinned elsewhere; this row
+    proves they COMPOSE (the DuckDB oracle chains the per-stage oracles,
+    recursive CTE for the transitive closure)."""
+    from .plans.curate import curate_full
+
+    return curate_full(
+        _docs_chained_lang(spark, sf_dir), MIXTURE_WEIGHTS, seed=MIXTURE_SEED
+    )
+
+
+O_CURATION_FULL = f"""
+WITH RECURSIVE {_CHAINED_LANG_SQL},
+q0 AS (
+  SELECT doc_id, text, lang,
+         {_TOKENS_SQL} AS tk,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS_SQL}) END AS n_tok,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         list_transform(range(1, len({_TOKENS_SQL})),
+                        i -> {_TOKENS_SQL}[i] || ' ' || {_TOKENS_SQL}[i+1]) AS bg
+  FROM chained_l
+),
+q1 AS (
+  SELECT doc_id, text, lang, n_tok, n_punct,
+         len(tk) AS n, len(list_distinct(tk)) AS nd,
+         list_max(list_transform(list_distinct(tk),
+                                 w -> len(list_filter(tk, x -> x = w)))) AS top,
+         len(bg) AS n_bg, len(list_distinct(bg)) AS nd_bg
+  FROM q0
+),
+gated AS (
+  SELECT doc_id, text, lang FROM q1
+  WHERE n_tok >= 10 AND n_tok <= 100000 AND n_punct * 100 <= length(text) * 10
+    AND nd * 10 >= n * 3 AND top * 5 <= n AND (n_bg - nd_bg) * 2 <= n_bg
+),
+firstwins AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+kept0 AS (
+  SELECT g.doc_id, g.text, g.lang
+  FROM gated g JOIN firstwins f ON g.doc_id = f.doc_id
+),
+t AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM kept0),
+sigs AS (SELECT doc_id, {", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(8))} FROM t),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN t a ON c.id_a = a.doc_id JOIN t b ON c.id_b = b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) >= 0.6 * len(list_distinct(list_concat(a.sh, b.sh)))
+),
+bi AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(node, r) AS (
+  SELECT u, v FROM bi
+  UNION
+  SELECT walk.node, bi.v FROM walk JOIN bi ON bi.u = walk.r
+),
+drops AS (SELECT node FROM walk GROUP BY node HAVING min(r) < node),
+kept AS (
+  SELECT doc_id, text, lang FROM kept0
+  WHERE doc_id NOT IN (SELECT node FROM drops)
+),
+mixed AS (
+  SELECT doc_id, text, lang FROM kept
+  WHERE ((((doc_id % 1000000007) + {MIXTURE_SEED}) % 1000000007)
+         * 2654435761 % 1000000007) * 2654435761 % 1000000 < {_MIX_CASE}
+),
+final AS (
+  SELECT doc_id, lang,
+         CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 70 THEN 'train'
+              WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 85 THEN 'eval'
+              ELSE 'test' END AS split,
+         (((doc_id % 1000000007) * 2654435761) % 1000000007) % 8 AS shard,
+         CAST({_NTOK_SQL} AS BIGINT) AS n_tokens
+  FROM mixed
+)
+SELECT doc_id, lang, split, shard, n_tokens,
+       CAST(floor(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / 256) AS BIGINT) AS pack_id
+FROM final
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite curation: quality gate → exact dedup → hash split, over the
     planted-duplicate corpus."""
@@ -534,6 +723,63 @@ SELECT doc_id AS media_id,
        (['image','audio','video'])[1 + CAST(doc_id % 3 AS INT)] AS kind,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS checksum
+FROM documents
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, oracle-checked: each doc becomes a VALID RIFF/WAVE
+    PCM payload (even ids) or binary-PPM image (odd ids), built as pure
+    Column hex expressions from the key; the Spark side then genuinely
+    PARSES those bytes back (struct header unpack + numpy frame math in an
+    Arrow kernel) while DuckDB derives the expected features from the same
+    key arithmetic — a hash match proves the decoder reads the byte layout
+    correctly end to end. No media libs involved: WAV and PPM are
+    stdlib-parseable formats."""
+    from .operators.multimodal import (
+        decode_media_features,
+        synth_ppm_hex_col,
+        synth_wav_hex_col,
+    )
+
+    k = F.col("doc_id")
+    media = _docs(spark, sf_dir).select(
+        k.alias("media_id"),
+        F.when(k % 2 == 0, F.lit("wav")).otherwise(F.lit("ppm")).alias("kind"),
+        F.unhex(
+            F.when(k % 2 == 0, synth_wav_hex_col(k)).otherwise(synth_ppm_hex_col(k))
+        ).alias("payload"),
+    )
+    return decode_media_features(media)
+
+
+_WAV_SAMPLE_SQL = (
+    "abs(CASE WHEN (doc_id*31 + i*17) % 65536 >= 32768 "
+    "THEN (doc_id*31 + i*17) % 65536 - 65536 "
+    "ELSE (doc_id*31 + i*17) % 65536 END)"
+)
+
+
+def _ppm_ch_sql(ch: int) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(0, CAST((2 + doc_id % 3) * 2 AS INT)), "
+        f"p -> (doc_id + (3*p + {ch}) * 7) % 256)) AS BIGINT)"
+    )
+
+
+O_MULTIMODAL_DECODE = f"""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'ppm' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) END AS sample_rate,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 8 AS BIGINT) END AS n_samples,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(list_sum(list_transform(
+            range(0, CAST(4 + doc_id % 8 AS INT)), i -> {_WAV_SAMPLE_SQL})) AS BIGINT)
+       END AS sum_abs_amplitude,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(2 + doc_id % 3 AS BIGINT) END AS width,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(2 AS BIGINT) END AS height,
+       CASE WHEN doc_id % 2 = 1 THEN {_ppm_ch_sql(0)} END AS sum_r,
+       CASE WHEN doc_id % 2 = 1 THEN {_ppm_ch_sql(1)} END AS sum_g,
+       CASE WHEN doc_id % 2 = 1 THEN {_ppm_ch_sql(2)} END AS sum_b
 FROM documents
 """
 
@@ -682,16 +928,11 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shard", "n_tokens", "pack_id")
 
 
-_NTOK_SQL = (
-    "CASE WHEN len(trim(text)) = 0 THEN 0 "
-    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
-)
-
 O_SEQUENCE_PACKING = f"""
 WITH d AS (
   SELECT doc_id,
          CAST({_NTOK_SQL} AS BIGINT) AS n_tokens,
-         ((doc_id % 1000000007) * 2654435761) % 8 AS shard
+         (((doc_id % 1000000007) * 2654435761) % 1000000007) % 8 AS shard
   FROM documents
 )
 SELECT doc_id, shard, n_tokens,
@@ -726,8 +967,10 @@ def docs_queries() -> dict:
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_neardup": q_embedding_neardup,
         "curation_pipeline": q_curation_pipeline,
+        "curation_full": q_curation_full,
         "sequence_packing": q_sequence_packing,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -751,6 +994,8 @@ def docs_oracles() -> dict:
         "jaccard_pairs": O_JACCARD_PAIRS,
         "embedding_neardup": O_EMBEDDING_NEARDUP,
         "curation_pipeline": O_CURATION,
+        "curation_full": O_CURATION_FULL,
         "sequence_packing": O_SEQUENCE_PACKING,
         "multimodal_features": O_MULTIMODAL,
+        "multimodal_decode": O_MULTIMODAL_DECODE,
     }

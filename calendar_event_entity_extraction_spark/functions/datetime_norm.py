@@ -285,6 +285,9 @@ _DUR_TRANSFORMS = [
     (r"(?i)^(?:an?|one) hour and a half$", "1 hour 30 minutes"),
     (r"(?i)^a couple (?:of )?hours$", "2 hours"),
     (r"(?i)^(?:an?|one|a full)[- ]hour$", "1 hour"),
+    # NOT dead despite DUR_RE's quantity requirement: the descriptor-only
+    # branch matches "about hour"/"~hour" (descriptor present, quantity
+    # absent), and the first transform strips the descriptor to bare "hour"
     (r"(?i)^hour$", "1 hour"),
     (r"(\d)mins\b", "$1 mins"),
     (r"(\d)-hour\b", "$1 hours"),

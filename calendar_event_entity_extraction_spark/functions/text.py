@@ -61,6 +61,31 @@ def quality_struct(text: Column) -> list[Column]:
     ]
 
 
+def keep_repetition_col(text: Column) -> Column:
+    """The Gopher-style repetition KEEP flag alone (see
+    :func:`repetition_struct` for the full signal set): distinct/total ≥ 0.3
+    AND top-token mass ≤ 0.2 AND duplicate-bigram mass ≤ 0.5 — integer
+    cross-multiplication, no floats. Used as a narrow curation gate."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    dist = F.array_distinct(toks)
+    n = F.size(toks)
+    nd = F.size(dist)
+    top = F.array_max(
+        F.transform(dist, lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    )
+    bg = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(1))),
+            lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    n_bg = F.size(bg)
+    nd_bg = F.size(F.array_distinct(bg))
+    return (nd * 10 >= n * 3) & (top * 5 <= n) & ((n_bg - nd_bg) * 2 <= n_bg)
+
+
 def repetition_struct(text: Column) -> list[Column]:
     """Gopher-style within-document repetition signals, exact integers only
     (Rae et al. 2021 §A1.1 filter degenerate/boilerplate docs by repeated
@@ -102,6 +127,94 @@ def repetition_struct(text: Column) -> list[Column]:
             & (top * 5 <= n)
             & ((n_bg - nd_bg) * 2 <= n_bg)
         ).alias("keep_repetition"),
+    ]
+
+
+# Gopher §A1.1 (Rae et al. 2021) repetition thresholds, as integer percents:
+# a doc is dropped when the character mass of the heaviest {2,3,4}-gram, or
+# of duplicated {5..10}-grams, exceeds these fractions of the normalized text
+GOPHER_TOP_NGRAM_PCT = {2: 20, 3: 18, 4: 16}
+GOPHER_DUP_NGRAM_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def _ngram_arr(toks: Column, n: int) -> Column:
+    """All word n-grams (space-joined, WITH multiplicity); empty array when
+    the doc has fewer than n tokens."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_ngram_chars_col(toks: Column, n: int) -> Column:
+    """Character mass (occurrences × chars of the space-joined gram) of the
+    HEAVIEST n-gram — deterministic under most-frequent ties (it maximizes
+    count × length directly, a monotone bound of Gopher's most-frequent-
+    n-gram character fraction). Integer, 0 for docs shorter than n."""
+    g = _ngram_arr(toks, n)
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(g),
+                lambda t: F.size(F.filter(g, lambda x: x == t)) * F.length(t),
+            )
+        ),
+        F.lit(0),
+    )
+
+
+def dup_ngram_chars_col(toks: Column, n: int) -> Column:
+    """Character mass of DUPLICATED n-grams: sum over distinct grams with
+    count ≥ 2 of count × chars (each occurrence's span counted
+    independently — a documented over-count of Gopher's overlap-aware
+    character fraction, in the conservative direction). Integer."""
+    g = _ngram_arr(toks, n)
+    return F.aggregate(
+        F.array_distinct(g),
+        F.lit(0),
+        lambda acc, t: acc
+        + F.when(
+            F.size(F.filter(g, lambda x: x == t)) >= 2,
+            F.size(F.filter(g, lambda x: x == t)) * F.length(t),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def repetition_struct_full(text: Column) -> list[Column]:
+    """:func:`repetition_struct` plus the FULL Gopher §A1.1 family: heaviest
+    {2,3,4}-gram character mass, duplicate {5..10}-gram character mass, the
+    normalized-character denominator, and an all-gates keep flag — every
+    signal an exact integer, every threshold an integer cross-multiplication
+    (never floats), so the whole filter replays bit-identically in SQL.
+
+    Cost note: each signal is O(n_tokens × n_distinct_grams) per document
+    via interpreted higher-order folds (same class as ``top_token_count``);
+    post-length-gate documents keep this a bounded per-row constant, and a
+    skewed giant doc degrades one task, never a shuffle."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    chars = F.length(F.array_join(toks, " "))
+    tops = {n: top_ngram_chars_col(toks, n) for n in GOPHER_TOP_NGRAM_PCT}
+    dups = {n: dup_ngram_chars_col(toks, n) for n in GOPHER_DUP_NGRAM_PCT}
+    keep_full = keep_repetition_col(text)
+    for n, pct in GOPHER_TOP_NGRAM_PCT.items():
+        keep_full = keep_full & (tops[n] * 100 <= chars * pct)
+    for n, pct in GOPHER_DUP_NGRAM_PCT.items():
+        keep_full = keep_full & (dups[n] * 100 <= chars * pct)
+    return [
+        *repetition_struct(text),
+        chars.cast("long").alias("n_chars_norm"),
+        *[
+            tops[n].cast("long").alias(f"top{n}gram_chars")
+            for n in GOPHER_TOP_NGRAM_PCT
+        ],
+        *[
+            dups[n].cast("long").alias(f"dup{n}gram_chars")
+            for n in GOPHER_DUP_NGRAM_PCT
+        ],
+        keep_full.alias("keep_repetition_full"),
     ]
 
 

@@ -205,9 +205,15 @@ def minhash_near_duplicates(
 
 
 def simhash16_col(text: Column) -> Column:
-    """16-bit SimHash over word tokens. Bit b of a token = high bit of hex
-    nibble b of md5(token) ('8'..'f' ⇒ 1), portable to any SQL with md5().
-    The document bit is the sign of the per-bit ±1 vote sum."""
+    """16-bit SimHash over word tokens — the SPEC form. Bit b of a token =
+    high bit of hex nibble b of md5(token) ('8'..'f' ⇒ 1), portable to any
+    SQL with md5(). The document bit is the sign of the per-bit ±1 vote sum.
+
+    This single-Column formulation evaluates md5 once PER BIT (16× per
+    token): each of the 16 vote aggregates carries its own md5 call, and
+    higher-order lambdas offer no cross-expression reuse. It exists as the
+    readable semantic definition and equality pin for the production path —
+    use :func:`with_simhash16` on any real scan (one md5 per token)."""
     toks = tokens_col(text)
 
     def _vote(b: int) -> Column:
@@ -223,6 +229,53 @@ def simhash16_col(text: Column) -> Column:
         bit = F.when(_vote(b) > 0, F.lit(2**b)).otherwise(F.lit(0))
         total = bit if total is None else total + bit
     return total.cast("int")
+
+
+def simhash16_votes_col(digests: Column) -> Column:
+    """All 16 per-bit vote sums in ONE pass over a precomputed md5-digest
+    array: fold an int[16] accumulator, adding ±1 per bit from the digest's
+    first 16 hex nibbles. Exactly `[_vote(0..15)]` of :func:`simhash16_col`
+    but with each token hashed once, not 16×."""
+    return F.aggregate(
+        digests,
+        F.array(*[F.lit(0)] * 16),
+        lambda acc, d: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda b: F.when(
+                    d.substr(b + F.lit(1), F.lit(1)) >= "8", F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+
+
+def simhash_from_votes(votes: Column) -> Column:
+    """Vote array → 16-bit simhash (sign of each vote sum)."""
+    total = None
+    for b in range(16):
+        bit = F.when(F.element_at(votes, b + 1) > 0, F.lit(2**b)).otherwise(
+            F.lit(0)
+        )
+        total = bit if total is None else total + bit
+    return total.cast("int")
+
+
+def with_simhash16(df: DataFrame, text_col: str, out: str = "simhash") -> DataFrame:
+    """Production simhash path: md5 each token ONCE, then 16 bit-votes over
+    the digest array. Two projections on purpose — the vote-array aggregate
+    is materialized as an attribute before the 16 sign tests reference it;
+    written as one Column expression, CollapseProject would inline (and the
+    interpreted higher-order fold would re-evaluate) the whole aggregate
+    16×, the exact Catalyst trap of CLAUDE.md perf lessons #6-#8."""
+    digs = F.transform(tokens_col(F.col(text_col)), lambda t: F.md5(t))
+    return (
+        df.withColumn("_votes", simhash16_votes_col(digs))
+        .withColumn(out, simhash_from_votes(F.col("_votes")))
+        .drop("_votes")
+    )
 
 
 def simhash_near_duplicates(
@@ -245,9 +298,11 @@ def simhash_near_duplicates(
     if max_hamming > bands - 1:
         raise ValueError("banding guarantees recall only for max_hamming <= bands-1")
     bits_per = 16 // bands
-    s = df.select(
-        F.col(id_col).alias("id"), simhash16_col(F.col(text_col)).alias("sh")
-    )
+    s = with_simhash16(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")),
+        "_t",
+        "sh",
+    ).select("id", "sh")
     band_arr = F.array(
         *[
             F.struct(

@@ -69,6 +69,55 @@ def metrics_dict(pred: DataFrame, gold: DataFrame) -> dict:
     return field_metrics(pred, gold).collect()[0].asDict()
 
 
+def canonical_eq(field: str) -> F.Column:
+    """Per-field equality under the reference's ALTERNATIVE metric module
+    (``src/metrics.py:9-17`` ``canonicalize``): strings compare after
+    strip().lower(); None passes through (null == null counts as equal);
+    non-strings — the attendees LIST — are left untouched and compare raw
+    (``isinstance(v, str)`` is False for lists in the reference)."""
+    p, g = F.col(f"p_{field}"), F.col(f"g_{field}")
+    if field == "attendees":
+        return p.eqNullSafe(g)
+    return F.when(p.isNull() | g.isNull(), p.eqNullSafe(g)).otherwise(
+        F.lower(F.trim(p)) == F.lower(F.trim(g))
+    )
+
+
+def field_metrics_canonical_counts(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """The reference's ``src/metrics.py:9-40`` metric family (canonicalized
+    micro-F1, ``json_valid``, ``exact_match``) as exact BIGINT counts —
+    the SECOND metric semantics the reference ships, alongside the raw-``==``
+    ``compute_metrics`` of ``field_metrics_counts``:
+
+    * ``json_valid_num``: rows with all 8 keys present (``json_valid``,
+      src/metrics.py:20-22) — structural under schema enforcement, counted
+      to keep the contract explicit;
+    * ``field_match_canon_num / field_total``: the micro-F1 as an exact
+      fraction (``per_field_f1`` sums per-field 0/1 scores over 8 fields);
+    * ``exact_match_canon_num``: all-8-canonical-fields-equal rows.
+    """
+    j = join_pred_gold(pred, gold)
+    eqs = {f: canonical_eq(f) for f in FIELDS}
+    all_eq = None
+    for eq in eqs.values():
+        all_eq = eq if all_eq is None else (all_eq & eq)
+    return j.agg(
+        F.count("*").alias("n_events"),
+        # a prediction that exists always carries all 8 keys under schema
+        # enforcement; action is never-null in a present prediction, so its
+        # presence marks "a parseable prediction row joined here"
+        F.sum(F.col("p_action").isNotNull().cast("long")).alias("json_valid_num"),
+        F.sum(all_eq.cast("long")).alias("exact_match_canon_num"),
+        F.sum(sum(eq.cast("long") for eq in eqs.values())).alias(
+            "field_match_canon_num"
+        ),
+        (F.count("*") * 8).alias("field_total"),
+        F.sum(eqs["location"].cast("long")).alias("location_match_canon_num"),
+        F.sum(eqs["action"].cast("long")).alias("action_match_canon_num"),
+        F.sum(eqs["time"].cast("long")).alias("time_match_canon_num"),
+    )
+
+
 def field_metrics_counts(pred: DataFrame, gold: DataFrame) -> DataFrame:
     """Exact-integer variant for engine-comparable outputs: numerators and
     denominators as BIGINT, never float ratios (a last-ulp divergence in a

@@ -71,28 +71,47 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    return_rounds: bool = False,
 ) -> DataFrame:
     """(node, comp) labels; comp = the component's minimum node id.
 
     Input: any edge list (ids must be orderable — use xxhash64 of a string
     key upstream if needed). Nodes with no edge are absent from the output
     (they are their own singleton components by definition).
+
+    Raises if ``max_rounds`` exhausts before the star fixpoint — returning
+    non-converged labels would be a SILENTLY wrong clustering. Unreachable
+    in practice (O(log^2 n) convergence means 50 rounds covers any feasible
+    graph), but the failure must be loud. ``return_rounds`` additionally
+    returns the number of star rounds executed (for convergence tests).
     """
     cur = _canonical(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint()
+    converged = False
+    rounds = 0
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
-        # both sides are distinct canonical sets: equal counts + empty
-        # one-sided difference <=> set equality
-        if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
+        rounds += 1
+        # both sides are distinct canonical sets, so set equality <=> empty
+        # symmetric difference — ONE action per round, not count + except
+        if nxt.exceptAll(cur).unionByName(cur.exceptAll(nxt)).isEmpty():
             cur = nxt
+            converged = True
             break
         cur = nxt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach the star fixpoint within "
+            f"{max_rounds} rounds — labels would be silently wrong"
+        )
     # at fixpoint every canonical edge is a star edge (component_min, member)
-    return cur.select(F.col("v").alias("node"), F.col("u").alias("comp")).unionByName(
+    labels = cur.select(
+        F.col("v").alias("node"), F.col("u").alias("comp")
+    ).unionByName(
         cur.select(F.col("u").alias("node"), F.col("u").alias("comp")).distinct()
     )
+    return (labels, rounds) if return_rounds else labels
 
 
 def cluster_representatives(labels: DataFrame) -> DataFrame:

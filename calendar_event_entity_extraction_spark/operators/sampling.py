@@ -9,11 +9,14 @@ strata. Here each row keeps iff a portable multiplicative hash of its key
 lands under the stratum's threshold — one filter, pushes down to the scan,
 identical in plain SQL, stable under retries/repartitioning.
 
-The hash is the same Knuth scheme as `splits.bucket_col` but SEEDED (key +
-seed pre-reduction) so mixture sampling decorrelates from split
-assignment — without the seed, `pmod(h, 100)` (splits) and
-`pmod(h, 10**6)` (mixture) share low-order structure and the sampled
-corpus would skew across train/eval/test.
+The hash is the Knuth scheme of `splits.bucket_col`, SEEDED and then
+REMIXED through a second multiply-mod-prime round: a single multiply would
+leave `frac % 100` an affine shift of the split bucket (both reduce the
+same product; 100 divides 10**6), so mixture keeps/drops would correlate
+with train/eval/test whenever a threshold isn't a multiple of 100. The
+intermediate reduction mod the PRIME 1e9+7 between the two multiplies
+breaks that low-order affinity — `frac % 100` is no longer a function of
+the split bucket alone.
 """
 
 from __future__ import annotations
@@ -25,10 +28,14 @@ from .splits import KNUTH, MOD
 
 
 def seeded_frac_col(key: Column, seed: int, granularity: int = 1_000_000) -> Column:
-    """Uniform-ish value in [0, granularity) from (key, seed); ANSI-safe
-    (pre-pmod keeps the product inside int64)."""
-    reduced = F.pmod(key.cast("long") + F.lit(seed), F.lit(MOD))
-    return F.pmod(reduced * F.lit(KNUTH), F.lit(granularity))
+    """Uniform-ish value in [0, granularity) from (key, seed). ANSI-safe:
+    the key is reduced mod the prime BEFORE the seed add and each multiply
+    (every product stays < 1e9+7 × 2.7e9 < int64 max even for keys near
+    Long.MAX). Two multiply-mod rounds (see module docstring) decorrelate
+    the fraction from `splits.bucket_col`'s single-round bucket."""
+    reduced = F.pmod(F.pmod(key.cast("long"), F.lit(MOD)) + F.lit(seed), F.lit(MOD))
+    mixed = F.pmod(reduced * F.lit(KNUTH), F.lit(MOD))
+    return F.pmod(mixed * F.lit(KNUTH), F.lit(granularity))
 
 
 def mixture_sample(

@@ -13,6 +13,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -112,6 +113,47 @@ def lsh_topk(
     )
 
 
+def nearest_cells_udf(cents: list, n: int):
+    """Arrow-batched centroid assignment: embedding → the ``n`` nearest
+    centroid indices, ordered by (round(-cosine, 9), centroid index).
+
+    This replaces the round-2 literal-expression cascade (one inlined
+    ``array(lit…)`` cosine per centroid, O(n_centroids × dims) plan nodes —
+    codegen falls over at the 256-4096 centroids a real index needs). The
+    centroid matrix rides in the UDF closure (driver-serialized once per
+    task, the pandas-UDF analog of a broadcast), so the PLAN is O(1) in
+    n_centroids and the kernel is vectorized numpy over the whole batch.
+
+    Bit-exactness with the JVM/SQL path: products and norms accumulate via
+    ``cumsum`` along the dim axis — numpy's cumsum adds sequentially, the
+    same left fold as ``vectors.dot_col``'s ``aggregate`` and DuckDB's
+    ``list_cosine_similarity``, so cosines agree to the last ulp and the
+    9-decimal quantization + index tie-break order identically (pinned by
+    the ``ann_ivf_topk`` oracle hash-match).
+    """
+    import numpy as np
+
+    assert all(ci == i for i, (ci, _) in enumerate(cents))
+    C = np.array([cv for _, cv in cents], dtype=np.float64)  # (k, D)
+    Cn = np.sqrt((C * C).cumsum(axis=1)[:, -1])  # left-fold norms
+
+    @F.pandas_udf("array<int>")
+    def nearest(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(emb.tolist(), dtype=np.float64)  # float32→64 widening is exact
+        Vn = np.sqrt((V * V).cumsum(axis=1)[:, -1])
+        dots = np.empty((V.shape[0], C.shape[0]), dtype=np.float64)
+        for s in range(0, C.shape[0], 64):  # chunk: bound (B, chunk, D) memory
+            e = min(s + 64, C.shape[0])
+            dots[:, s:e] = (V[:, None, :] * C[None, s:e, :]).cumsum(axis=2)[:, :, -1]
+        key = np.round(-(dots / (Vn[:, None] * Cn[None, :])), 9)
+        order = np.argsort(key, axis=1, kind="stable")[:, :n]  # stable ⇒ ties→lower ci
+        return pd.Series(list(order.astype("int32")))
+
+    return nearest
+
+
 def kmeans_refine_centroids(
     corpus: DataFrame,
     cents: list,
@@ -119,28 +161,14 @@ def kmeans_refine_centroids(
     iterations: int = 1,
 ) -> list:
     """Deterministic distributed Lloyd refinement of IVF centroids: assign
-    every corpus vector to its nearest centroid (narrow pass, centroids
-    broadcast as literals), average per cell with ONE hash aggregate, and
+    every corpus vector to its nearest centroid (narrow Arrow pass, centroid
+    matrix in the UDF closure), average per cell with ONE hash aggregate, and
     replace each centroid by its cell mean (empty cells keep the seed).
     No RNG, no iteration-order dependence — safe under retries.
     """
     dims = len(cents[0][1])
     for _ in range(iterations):
-        assign = F.array(
-            *[
-                F.struct(
-                    (
-                        -cosine_col(
-                            F.col(vec_col),
-                            F.array(*[F.lit(float(x)) for x in cv]),
-                        )
-                    ).alias("d"),
-                    F.lit(ci).alias("c"),
-                )
-                for ci, cv in cents
-            ]
-        )
-        cell = F.element_at(F.array_sort(assign), 1)["c"]
+        cell = F.element_at(nearest_cells_udf(cents, 1)(F.col(vec_col)), 1)
         sums = (
             corpus.select(cell.alias("cell"), F.col(vec_col).alias("v"))
             .groupBy("cell")
@@ -178,10 +206,13 @@ def ivf_topk(
     steps (:func:`kmeans_refine_centroids`) — tighter cells raise recall at
     the same n_probe.
 
-    Scale shape: one narrow assignment pass over the corpus (centroids are
-    broadcast), then an equi-join on centroid id — the corpus is touched
-    once and only ~n_probe/n_centroids of it is scored per query. Each
-    Lloyd step adds one narrow pass + one tiny (n_centroids-row) aggregate.
+    Scale shape: one narrow Arrow assignment pass over the corpus (the
+    centroid matrix travels in the pandas-UDF closure, the broadcast
+    analog; plan size is O(1) in n_centroids — see
+    :func:`nearest_cells_udf`), then an equi-join on centroid id — the
+    corpus is touched once, never shuffled, and only ~n_probe/n_centroids
+    of it is scored per query. Each Lloyd step adds one narrow pass + one
+    tiny (n_centroids-row) aggregate.
 
     ``portable_seed`` orders the centroid pseudo-sample by
     md5(id)-as-string instead of xxhash64 so plain-SQL engines (no
@@ -209,29 +240,15 @@ def ivf_topk(
             corpus, cents, vec_col, kmeans_iterations
         )
 
-    def nearest(vec, n: int):
-        scored = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        -cosine_col(vec, F.array(*[F.lit(float(x)) for x in cv])), 9
-                    ).alias("d"),
-                    F.lit(ci).alias("c"),
-                )
-                for ci, cv in cents
-            ]
-        )
-        return F.slice(F.array_sort(scored), 1, n)
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.element_at(nearest(F.col(vec_col), 1), 1)["c"].alias("cell"),
+        F.element_at(nearest_cells_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(F.transform(nearest(F.col(vec_col), n_probe), lambda s: s["c"])).alias("cell"),
+        F.explode(nearest_cells_udf(cents, n_probe)(F.col(vec_col))).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")

@@ -25,6 +25,16 @@ def bucket_col(key: Column, buckets: int = 100) -> Column:
     return F.pmod(reduced * F.lit(KNUTH), F.lit(buckets))
 
 
+def mixed_bucket_col(key: Column, buckets: int) -> Column:
+    """Like :func:`bucket_col` but with an intermediate mod-PRIME reduction
+    before the final bucket mod. Required for power-of-two bucket counts:
+    KNUTH ≡ 1 (mod 8), so ``bucket_col(key, 8)`` degenerates to ``key % 8``
+    — the reduction mod the prime 1e9+7 in between genuinely mixes the low
+    bits first. ANSI-safe (each product < 1e9+7 × 2.7e9 < int64 max)."""
+    reduced = F.pmod(key.cast("long"), F.lit(MOD))
+    return F.pmod(F.pmod(reduced * F.lit(KNUTH), F.lit(MOD)), F.lit(buckets))
+
+
 def assign_split(
     df: DataFrame, key: str, train: int = 70, eval_: int = 15
 ) -> DataFrame:

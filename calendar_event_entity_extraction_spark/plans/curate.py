@@ -1,9 +1,24 @@
-"""Training-data curation pipeline: the composition a 100 TB corpus
-actually runs — quality gate → exact dedup (first-wins) → hash split.
+"""Training-data curation pipelines.
 
-Every stage is a narrow Column expression or one shuffle; the whole plan is
-one DAG (no intermediate actions), so Catalyst fuses the quality gate into
-the scan and the dedup shuffle is the only exchange.
+``curate_documents`` — the minimal composition: quality gate → exact dedup
+(first-wins) → hash split. Every stage is a narrow Column expression or one
+shuffle; the whole plan is one DAG (no intermediate actions), so Catalyst
+fuses the quality gate into the scan and the dedup shuffle is the only
+exchange.
+
+``curate_full`` — the composition a 100 TB training-data run actually
+executes, end to end in one job: quality gate → repetition filter → exact
+dedup → MinHash-LSH near-dup pairs → connected-components cluster drop
+(keep the min-id representative) → deterministic mixture sampling → hash
+split → token-budget sequence packing. Exchange budget (see PLANS.md
+``curation_full``): the two narrow gates fuse into the scan; exact dedup is
+one signature shuffle; the near-dup branch shuffles on band key and
+re-joins shingles per candidate; connected components runs O(log²n)
+bounded star rounds over the (tiny relative to the corpus) pair list; the
+cluster drop is one broadcast-able anti-join; mixture sampling and split
+assignment are pure narrow filters/projections; packing is one window
+shuffle on the shard hash. Nothing collects to the driver except the CC
+convergence probes.
 """
 
 from __future__ import annotations
@@ -11,8 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import punct_count_col, token_count_col
-from ..operators.dedup import dedup_first_wins
+from ..functions.text import keep_repetition_col, punct_count_col, token_count_col
+from ..operators.dedup import dedup_first_wins, minhash_near_duplicates
+from ..operators.packing import pack_sequences
+from ..operators.resolve import connected_components
+from ..operators.sampling import mixture_sample
 from ..operators.splits import assign_split
 
 
@@ -37,3 +55,61 @@ def curate_documents(
     kept = docs.filter(ok)
     deduped = dedup_first_wins(kept, ["text"], "doc_id")
     return assign_split(deduped, "doc_id").select("doc_id", "split")
+
+
+def curate_full(
+    docs: DataFrame,
+    weights: dict[str, float],
+    seed: int = 11,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_punct_per_100_chars: int = 10,
+    neardup_threshold: float = 0.6,
+    perms: int = 8,
+    rows_per_band: int = 2,
+    budget: int = 256,
+    shards: int = 8,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """documents(doc_id, text, lang) → (doc_id, lang, split, shard,
+    n_tokens, pack_id): the full curation DAG described in the module
+    docstring. Deterministic end to end (no RNG anywhere), every stage
+    integer-exact or hash-derived, so the whole composite is replicable in
+    plain SQL (the ``curation_full`` oracle chains the per-stage oracles).
+
+    At 100 TB pass a ``bucket_cap`` so a hot LSH bucket can't go quadratic
+    (recall trade-off documented at ``dedup.capped_band_pairs``); the
+    default None keeps exact all-pairs semantics for oracle-compared runs.
+    """
+    n_tok = token_count_col(F.col("text"))
+    n_punct = punct_count_col(F.col("text"))
+    quality_ok = (
+        (n_tok >= min_tokens)
+        & (n_tok <= max_tokens)
+        & (n_punct * 100 <= F.length("text") * max_punct_per_100_chars)
+    )
+    gated = docs.filter(quality_ok & keep_repetition_col(F.col("text")))
+    deduped = dedup_first_wins(gated, ["text"], "doc_id")
+    pairs = minhash_near_duplicates(
+        deduped,
+        "doc_id",
+        "text",
+        threshold=neardup_threshold,
+        perms=perms,
+        rows_per_band=rows_per_band,
+        bucket_cap=bucket_cap,
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    dupes = labels.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = deduped.join(dupes, "doc_id", "left_anti")
+    mixed = mixture_sample(kept, "lang", weights, "doc_id", seed=seed)
+    return pack_sequences(
+        assign_split(mixed, "doc_id"),
+        "doc_id",
+        "text",
+        budget=budget,
+        shards=shards,
+        carry_cols=("lang", "split"),
+    ).select("doc_id", "lang", "split", "shard", "n_tokens", "pack_id")

@@ -19,6 +19,7 @@ from .synth.oracle import (
     gold_augment_sql,
     gold_dataset_analysis_sql,
     gold_entity_pool_sql,
+    gold_eval_metrics_canonical_sql,
     gold_eval_metrics_sql,
     gold_events_sql,
     gold_location_pool_sql,
@@ -111,6 +112,42 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return field_metrics_counts(pred, ev)
 
 
+def q_eval_metrics_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ALTERNATIVE metric module (src/metrics.py:9-40:
+    canonicalize strip+lower, json_valid, canonical micro-F1/exact-match)
+    on a three-way controlled perturbation: location clobbered on k%10==3
+    (a REAL mismatch under both metric semantics), action UPPERCASED on
+    k%10==7 and time whitespace-padded on k%10==1 (raw-`==` mismatches
+    that canonicalization must FORGIVE — the two semantics provably differ
+    on this fixture, which is what pins the canonical path)."""
+    from .operators.metrics import field_metrics_canonical_counts
+
+    ev = canonical_events(spark, sf_dir)
+    k = F.substring("conv_id", 6, 20).cast("long")
+    pred = (
+        ev.withColumn(
+            "location",
+            F.when(F.pmod(k, 10) == 3, F.lit("PERTURBED")).otherwise(
+                F.col("location")
+            ),
+        )
+        .withColumn(
+            "action",
+            F.when(F.pmod(k, 10) == 7, F.upper(F.col("action"))).otherwise(
+                F.col("action")
+            ),
+        )
+        .withColumn(
+            "time",
+            F.when(
+                F.pmod(k, 10) == 1,
+                F.concat(F.lit("  "), F.col("time"), F.lit(" ")),
+            ).otherwise(F.col("time")),
+        )
+    )
+    return field_metrics_canonical_counts(pred, ev)
+
+
 # augmentation swap pools — deliberately disjoint from the grammar's NAMES /
 # location vocab so whole-word rewrites can't collide with other text tokens
 AUG_ATT_POOL = ["Zara", "Vikram", "Priya", "Diego", "Yuki"]
@@ -187,6 +224,7 @@ def kg_queries() -> dict:
         "entity_pool_attendees": q_entity_pool_attendees,
         "entity_pool_locations": q_entity_pool_locations,
         "eval_metrics": q_eval_metrics,
+        "eval_metrics_canonical": q_eval_metrics_canonical,
         "dataset_analysis": q_dataset_analysis,
         "augment_pipeline": q_augment_pipeline,
     }
@@ -202,6 +240,7 @@ def kg_oracles() -> dict:
         "entity_pool_attendees": gold_entity_pool_sql(),
         "entity_pool_locations": gold_location_pool_sql(),
         "eval_metrics": gold_eval_metrics_sql(),
+        "eval_metrics_canonical": gold_eval_metrics_canonical_sql(),
         "dataset_analysis": gold_dataset_analysis_sql(),
         "augment_pipeline": gold_augment_sql(AUG_ATT_POOL, AUG_LOC_POOL),
     }

@@ -166,6 +166,24 @@ SELECT event_id, latest_orderkey FROM (
 """
 
 
+def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-HARDENED as-of join (window on (key, 30-day time bucket)
+    with carried-forward bucket boundaries) — must produce byte-identical
+    results to the plain union+window path, so it shares
+    ``O_ASOF_LATEST_ORDER``: the hash compare pins the whole carry
+    machinery, not just its skew behavior (which `test_stateful_asof`'s
+    hot-key fixture covers)."""
+    from .operators.asof import asof_join_bucketed
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    return asof_join_bucketed(
+        e, o, left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        payload="o_orderkey", out_col="latest_orderkey",
+    ).select("event_id", "latest_orderkey")
+
+
 def relational_queries() -> dict:
     return {
         "pricing_summary": q_pricing_summary,
@@ -174,6 +192,7 @@ def relational_queries() -> dict:
         "customers_without_orders": q_customers_without_orders,
         "sessionization": q_sessionization,
         "asof_latest_order": q_asof_latest_order,
+        "asof_bucketed": q_asof_bucketed,
     }
 
 
@@ -185,4 +204,5 @@ def relational_oracles() -> dict:
         "customers_without_orders": O_CUST_NO_ORDERS,
         "sessionization": O_SESSIONIZATION,
         "asof_latest_order": O_ASOF_LATEST_ORDER,
+        "asof_bucketed": O_ASOF_LATEST_ORDER,
     }

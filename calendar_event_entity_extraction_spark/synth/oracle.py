@@ -230,6 +230,31 @@ FROM (SELECT *, CAST(substr(conv_id, 6) AS BIGINT) AS k0 FROM gold)
 """
 
 
+def gold_eval_metrics_canonical_sql() -> str:
+    """Oracle for the canonical-metric query (reference src/metrics.py:9-40
+    semantics): canonicalization must FORGIVE the uppercase-action (k0%10==7)
+    and whitespace-padded-time (k0%10==1) perturbations entirely, while the
+    location clobber (k0%10==3) stays a mismatch — so every count is an
+    exact integer function of the key distribution. json_valid = prediction
+    present = every row here (keyed equi-population)."""
+    return f"""
+WITH {KEYS_CTE}, m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN k0 % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS perturbed
+  FROM keys
+)
+SELECT n AS n_events,
+       n AS json_valid_num,
+       n - perturbed AS exact_match_canon_num,
+       8*n - perturbed AS field_match_canon_num,
+       8*n AS field_total,
+       n - perturbed AS location_match_canon_num,
+       n AS action_match_canon_num,
+       n AS time_match_canon_num
+FROM m
+"""
+
+
 def gold_eval_metrics_sql() -> str:
     """Oracle for the perturbed-prediction metrics query: the Spark side
     clobbers pred.location on conversations with k0%10==3 (both events of

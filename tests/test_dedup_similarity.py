@@ -88,6 +88,44 @@ def test_ivf_topk_recalls_planted_neighbor(vectors):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
+def test_ivf_topk_many_centroids(spark):
+    """128 centroids — the scale regime where the round-2 literal-centroid
+    plan exploded. The closure-matrix pandas-UDF assignment must (a) plan
+    and run, (b) recall the planted near-identical neighbor, (c) reach
+    reasonable recall@3 vs exact brute force, (d) stay deterministic."""
+    from calendar_event_entity_extraction_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(600, 16).astype("float32")
+    vecs[1] = vecs[0] + 0.01 * rng.randn(16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(600)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    q = df.filter(F.col("vec_id") < 8)
+    got = ivf_topk(
+        df, q, k=3, n_centroids=128, n_probe=32, kmeans_iterations=1
+    ).collect()
+    assert any(
+        r["query_id"] == 0 and r["neighbor_id"] == 1 and r["rank"] == 1 for r in got
+    ), got
+    v = vecs.astype("float64")
+    sims = v @ v.T / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+    )
+    hits = total = 0
+    for qid in range(8):
+        s = sims[qid].copy()
+        s[qid] = -np.inf
+        exact = set(np.argsort(-s)[:3])
+        mine = {r["neighbor_id"] for r in got if r["query_id"] == qid}
+        hits += len(exact & mine)
+        total += 3
+    assert hits / total >= 0.4, hits / total
+    again = ivf_topk(
+        df, q, k=3, n_centroids=128, n_probe=32, kmeans_iterations=1
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
 def test_lsh_topk_recalls_planted_neighbor(vectors):
     df, _ = vectors
     q = df.filter(F.col("vec_id") == 0)
@@ -131,6 +169,24 @@ def test_simhash_banded_hamming(spark):
     assert got3 == brute
     for r in loose.collect():
         assert r["hamming"] <= 3
+
+
+def test_simhash_production_path_matches_spec(spark):
+    """`with_simhash16` (one md5 per token) must equal the spec
+    `simhash16_col` (md5 per bit) on every doc, including empty/degenerate
+    text — the 16x-less-hashing path may not change a single bit."""
+    from calendar_event_entity_extraction_spark.operators.dedup import (
+        simhash16_col,
+        with_simhash16,
+    )
+
+    rows = DOCS + [(100, ""), (101, "   "), (102, "one"), (103, "Café déjà vu")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    both = with_simhash16(docs, "text", "fast").select(
+        "doc_id", "fast", simhash16_col(F.col("text")).alias("spec")
+    )
+    for r in both.collect():
+        assert r["fast"] == r["spec"], r
 
 
 def test_cosine_neardup_banded(vectors):

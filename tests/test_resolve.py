@@ -46,6 +46,19 @@ def test_long_chain_converges_in_log_rounds(spark):
     edges = [(i, i + 1) for i in range(63)]
     got = _check(spark, edges)
     assert set(got.values()) == {0}
+    # round-count pin: alternating star rounds are O(log^2 n), so the
+    # 64-node chain must converge far below the diameter bound
+    df = spark.createDataFrame(edges, "src long, dst long")
+    _, rounds = connected_components(df, "src", "dst", return_rounds=True)
+    assert rounds <= 10, rounds
+
+
+def test_nonconvergence_raises(spark):
+    # max_rounds too small for a chain -> loud failure, never silent labels
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(df, "src", "dst", max_rounds=1)
 
 
 def test_hot_node_star_and_disjoint_components(spark):

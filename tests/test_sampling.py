@@ -62,3 +62,36 @@ def test_repetition_signals(spark):
 
     assert out[4]["n_tokens"] == 1 and out[4]["n_bigrams"] == 0
     assert out[4]["keep_repetition"] is False  # top mass 1/1 > 0.2
+
+
+def test_repetition_full_family(spark):
+    from calendar_event_entity_extraction_spark.functions.text import (
+        repetition_struct_full,
+    )
+
+    clean = " ".join(f"tok{i:02d}" for i in range(30))  # 30 distinct tokens
+    rows = [
+        (1, clean),
+        (2, "x y z x y z x y z w q r s t"),  # "x y z" 3-gram repeated 3x
+        (3, "one two three four five six one two three four five six "
+            "tail0 tail1 tail2 tail3"),      # duplicated 5- and 6-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", *repetition_struct_full(F.col("text"))
+        ).collect()
+    }
+    # clean: every gram unique, all dup masses zero, all gates pass
+    assert out[1]["dup5gram_chars"] == 0 and out[1]["dup10gram_chars"] == 0
+    assert out[1]["top2gram_chars"] == len("tok00 tok01")
+    assert out[1]["keep_repetition_full"] is True
+    # heavy 3-gram: "x y z" x3 -> mass 15 > 18% of 27 normalized chars
+    assert out[2]["top3gram_chars"] == 15
+    assert out[2]["n_chars_norm"] == 27
+    assert out[2]["keep_repetition_full"] is False
+    # duplicated long grams: the 6-gram (27 chars) twice, two 5-grams twice
+    assert out[3]["dup6gram_chars"] == 2 * 27
+    assert out[3]["dup5gram_chars"] == 4 * 23
+    assert out[3]["keep_repetition_full"] is False

@@ -5,7 +5,10 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from calendar_event_entity_extraction_spark.operators.asof import asof_join
+from calendar_event_entity_extraction_spark.operators.asof import (
+    asof_join,
+    asof_join_bucketed,
+)
 from calendar_event_entity_extraction_spark.operators.extract import extract_events
 from calendar_event_entity_extraction_spark.streaming.stateful import (
     canonicalize_events_stateful,
@@ -53,6 +56,44 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
     assert set(by_conv) == {"c1", "c2", "c3"}
     assert by_conv["c1"]["turn_idx"] == 0  # echo dropped (or merged to first)
     assert len(rows) == 3
+
+
+@pytest.mark.parametrize("bucket_seconds", [100, 365 * 86400])
+def test_asof_bucketed_matches_plain_on_hot_key(spark, bucket_seconds):
+    """The skew-hardened bucketed as-of must equal the plain union+window
+    path on a HOT-KEY fixture (one key owns ~80% of both sides, with
+    repeated right timestamps to exercise the tie-carry). bucket_seconds=100
+    splits the hot key across ~50 buckets (carries everywhere);
+    365d degenerates to one bucket (must equal trivially)."""
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame(
+        {
+            "k": np.concatenate([np.zeros(300, dtype=int), rng.randint(1, 5, 60)]),
+            "lts": rng.randint(0, 5000, 360).astype("float64"),
+            "lid": np.arange(360),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": np.concatenate([np.zeros(150, dtype=int), rng.randint(1, 5, 50)]),
+            "rts": rng.randint(0, 5000, 200).astype("float64"),
+            "payload": np.arange(200).astype("int64"),
+        }
+    )
+    kwargs = dict(
+        left_key="k", right_key="k", left_ts="lts", right_ts="rts",
+        payload="payload", out_col="asof_payload",
+    )
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    plain = asof_join(ldf, rdf, **kwargs).toPandas().sort_values("lid")
+    bucketed = (
+        asof_join_bucketed(ldf, rdf, bucket_seconds=bucket_seconds, **kwargs)
+        .toPandas()
+        .sort_values("lid")
+    )
+    assert list(plain["asof_payload"].fillna(-1)) == list(
+        bucketed["asof_payload"].fillna(-1)
+    )
 
 
 @pytest.mark.parametrize("seed", [0, 1])

@@ -46,3 +46,102 @@ def test_multimodal_feature_plumbing(spark):
 def test_multimodal_real_decoder_is_stubbed(spark):
     with pytest.raises(NotImplementedError):
         extract_features(synth_media(spark, 1), fake=False)
+
+
+def _py_wav(k: int) -> bytes:
+    import struct
+
+    sr = 8000 + (k % 3) * 4000
+    ns = 4 + k % 8
+    frames = b"".join(
+        struct.pack("<H", (k * 31 + i * 17) % 65536) for i in range(ns)
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + 2 * ns) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+        + b"data" + struct.pack("<I", 2 * ns) + frames
+    )
+
+
+def _py_ppm(k: int) -> bytes:
+    w = 2 + k % 3
+    px = bytes((k + j * 7) % 256 for j in range(w * 2 * 3))
+    return b"P6\n" + str(w).encode() + b" 2\n255\n" + px
+
+
+def test_synth_payloads_match_struct_pack(spark):
+    """The Column-expression payload builders must emit byte-identical
+    WAV/PPM files to a pure-Python struct.pack reference."""
+    from pyspark.sql import functions as F
+
+    from calendar_event_entity_extraction_spark.operators.multimodal import (
+        synth_ppm_hex_col,
+        synth_wav_hex_col,
+    )
+
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.unhex(synth_wav_hex_col(F.col("id"))).alias("wav"),
+        F.unhex(synth_ppm_hex_col(F.col("id"))).alias("ppm"),
+    )
+    for r in df.collect():
+        assert bytes(r["wav"]) == _py_wav(r["k"]), r["k"]
+        assert bytes(r["ppm"]) == _py_ppm(r["k"]), r["k"]
+
+
+def test_real_decoders_roundtrip(spark):
+    """decode_media_features must PARSE the generated payloads back to the
+    exact generating parameters (a real header/frame decode, not an echo)."""
+    from pyspark.sql import functions as F
+
+    from calendar_event_entity_extraction_spark.operators.multimodal import (
+        decode_media_features,
+        synth_ppm_hex_col,
+        synth_wav_hex_col,
+    )
+
+    k = F.col("id")
+    media = spark.range(30).select(
+        k.alias("media_id"),
+        F.when(k % 2 == 0, F.lit("wav")).otherwise(F.lit("ppm")).alias("kind"),
+        F.unhex(
+            F.when(k % 2 == 0, synth_wav_hex_col(k)).otherwise(synth_ppm_hex_col(k))
+        ).alias("payload"),
+    )
+    got = {r["media_id"]: r.asDict() for r in decode_media_features(media).collect()}
+    for i in range(30):
+        r = got[i]
+        if i % 2 == 0:
+            assert r["sample_rate"] == 8000 + (i % 3) * 4000
+            assert r["n_samples"] == 4 + i % 8
+            expect_amp = sum(
+                abs(
+                    v - 65536 if (v := (i * 31 + j * 17) % 65536) >= 32768 else v
+                )
+                for j in range(4 + i % 8)
+            )
+            assert r["sum_abs_amplitude"] == expect_amp
+            assert r["width"] is None
+        else:
+            w = 2 + i % 3
+            assert (r["width"], r["height"]) == (w, 2)
+            for ch, col in enumerate(["sum_r", "sum_g", "sum_b"]):
+                assert r[col] == sum(
+                    (i + (3 * p + ch) * 7) % 256 for p in range(w * 2)
+                )
+            assert r["sample_rate"] is None
+
+
+def test_decoder_rejects_malformed(spark):
+    from pyspark.sql import functions as F
+
+    from calendar_event_entity_extraction_spark.operators.multimodal import (
+        decode_media_features,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, "wav", bytearray(b"not a riff file at all, truly"))],
+        "media_id long, kind string, payload binary",
+    )
+    with pytest.raises(Exception, match="RIFF|WAVE|Python worker"):
+        decode_media_features(bad).collect()
