@@ -192,6 +192,8 @@ def main() -> None:
             "text_stats",
             "mixture_sample",
             "repetition_stats",
+            "pii_scrub",
+            "vocab_topk",
             "ann_topk",
             "ann_lsh_topk",
             "ann_ivf_topk",

@@ -667,6 +667,192 @@ FROM dedup
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (the standard pre-training redaction pass): plant a
+    deterministic email + phone into every doc, count matches, and replace
+    with typed tags. RE2-safe patterns so Java regex and DuckDB behave
+    identically; narrow, codegen'd, no shuffle."""
+    from .functions.text import pii_counts, scrub_pii_col
+
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+        F.lit(" now."),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        *pii_counts(pii_text),
+        scrub_pii_col(pii_text).alias("scrubbed"),
+    )
+
+
+O_PII_SCRUB = """
+WITH p AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' now.' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\\+?\\d{1,2}[-. ]\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS BIGINT) AS n_phones,
+       regexp_replace(
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\+?\\d{1,2}[-. ]\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g') AS scrubbed
+FROM p
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-k (vocabulary building): posexplode →
+    salted two-phase count (hot tokens like 'the' dominate — the same skew
+    shape as entity pools) → TakeOrdered top-50, never a global sort."""
+    from .operators.entity_link import salted_count
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "token"
+        ),
+    )
+    counts = salted_count(toks, "token", salt_cols=["doc_id", "pos", "token"])
+    return (
+        counts.select(F.col("token"), F.col("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(50)
+    )
+
+
+O_VOCAB_TOPK = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_SQL}) AS token FROM documents
+),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token)
+SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 50
+"""
+
+
+def q_neardup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternative cluster-representative policy: keep the LONGEST member
+    (ties → smallest id) instead of first-wins — the policy most curation
+    pipelines actually want (near-dups usually differ by truncation). One
+    max_by-shaped aggregate over the cluster labels."""
+    from .functions.text import token_count_col
+    from .operators.resolve import connected_components
+
+    docs = _docs_chained(spark, sf_dir)
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.6, perms=8, rows_per_band=2
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    d = docs.select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tok")
+    )
+    return (
+        labels.join(d, labels.node == d.doc_id)
+        .groupBy("comp")
+        .agg(
+            F.max(F.struct(F.col("n_tok"), (-F.col("doc_id")).alias("neg_id"))).alias("m")
+        )
+        .select(
+            F.col("comp").cast("long").alias("cluster_id"),
+            (-F.col("m.neg_id")).cast("long").alias("rep_doc_id"),
+            F.col("m.n_tok").alias("rep_n_tokens"),
+        )
+    )
+
+
+O_NEARDUP_KEEP_LONGEST = f"""
+WITH RECURSIVE {_PLANTED_SQL}, {_CHAINED_SQL},
+t AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM chained),
+sigs AS (SELECT doc_id, {", ".join(f"{_mh_sql(j)} AS mh{j}" for j in range(8))} FROM t),
+bands AS ({_BANDS_SQL}),
+cand AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN t a ON c.id_a = a.doc_id JOIN t b ON c.id_b = b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) >= 0.6 * len(list_distinct(list_concat(a.sh, b.sh)))
+),
+bi AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(node, r) AS (
+  SELECT u, v FROM bi
+  UNION
+  SELECT walk.node, bi.v FROM walk JOIN bi ON bi.u = walk.r
+),
+lab AS (SELECT node AS doc_id, least(node, min(r)) AS comp FROM walk GROUP BY node),
+j AS (
+  SELECT lab.comp, lab.doc_id, CAST({_NTOK_SQL} AS BIGINT) AS n_tok
+  FROM lab JOIN chained ON lab.doc_id = chained.doc_id
+)
+SELECT CAST(comp AS BIGINT) AS cluster_id,
+       CAST(doc_id AS BIGINT) AS rep_doc_id,
+       n_tok AS rep_n_tokens
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY comp ORDER BY n_tok DESC, doc_id) AS rn
+  FROM j
+) WHERE rn = 1
+"""
+
+
+def q_lang_median_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-stratum lower median of token counts (corpus length
+    audit): one window per lang. Exactness requires a per-stratum sort —
+    each stratum serializes into one task, fine for O(10) langs; at 100 TB
+    with high-cardinality strata use percentile_approx instead (this row
+    exists to pin the exact semantics)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        token_count_col(F.col("text")).cast("long").alias("n_tok"),
+        "doc_id",
+    )
+    w = Window.partitionBy("lang").orderBy("n_tok", "doc_id")
+    cnt = Window.partitionBy("lang")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(cnt))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(
+            "lang",
+            F.col("n_tok").alias("median_n_tokens"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+
+
+O_LANG_MEDIAN = f"""
+WITH d AS (
+  SELECT lang, CAST({_NTOK_SQL} AS BIGINT) AS n_tok, doc_id FROM documents
+),
+r AS (
+  SELECT lang, n_tok,
+         row_number() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM d
+)
+SELECT lang, n_tok AS median_n_tokens, n AS n_docs
+FROM r WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+"""
+
+
 # ---------------------------------------------------------------- vectors
 
 
@@ -968,6 +1154,10 @@ def docs_queries() -> dict:
         "embedding_neardup": q_embedding_neardup,
         "curation_pipeline": q_curation_pipeline,
         "curation_full": q_curation_full,
+        "pii_scrub": q_pii_scrub,
+        "vocab_topk": q_vocab_topk,
+        "neardup_keep_longest": q_neardup_keep_longest,
+        "lang_median_tokens": q_lang_median_tokens,
         "sequence_packing": q_sequence_packing,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
@@ -995,6 +1185,10 @@ def docs_oracles() -> dict:
         "embedding_neardup": O_EMBEDDING_NEARDUP,
         "curation_pipeline": O_CURATION,
         "curation_full": O_CURATION_FULL,
+        "pii_scrub": O_PII_SCRUB,
+        "vocab_topk": O_VOCAB_TOPK,
+        "neardup_keep_longest": O_NEARDUP_KEEP_LONGEST,
+        "lang_median_tokens": O_LANG_MEDIAN,
         "sequence_packing": O_SEQUENCE_PACKING,
         "multimodal_features": O_MULTIMODAL,
         "multimodal_decode": O_MULTIMODAL_DECODE,

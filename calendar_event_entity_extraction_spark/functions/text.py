@@ -70,9 +70,7 @@ def keep_repetition_col(text: Column) -> Column:
     dist = F.array_distinct(toks)
     n = F.size(toks)
     nd = F.size(dist)
-    top = F.array_max(
-        F.transform(dist, lambda t: F.size(F.filter(toks, lambda x: x == t)))
-    )
+    top = run_stats_col(toks)["best_cnt"]  # max token count via sorted-run fold
     bg = F.filter(
         F.zip_with(
             toks,
@@ -89,10 +87,10 @@ def keep_repetition_col(text: Column) -> Column:
 def repetition_struct(text: Column) -> list[Column]:
     """Gopher-style within-document repetition signals, exact integers only
     (Rae et al. 2021 §A1.1 filter degenerate/boilerplate docs by repeated
-    n-gram mass). All higher-order array functions — narrow, codegen'd, no
-    Python. top_token_count is O(n_tokens × n_distinct) per document; docs
-    are bounded (post length-filter) so this stays a per-row constant, and
-    a skewed giant doc degrades one task, never a shuffle.
+    n-gram mass). All higher-order array functions — narrow, no Python.
+    top_token_count is an O(n log n) sorted-run fold (`run_stats_col`) per
+    document — a per-row constant; a skewed giant doc degrades one task,
+    never a shuffle.
 
     keep_repetition: distinct/total ≥ 0.3 AND top-token mass ≤ 0.2 AND
     duplicate-bigram mass ≤ 0.5 — integer cross-multiplication, no floats.
@@ -101,9 +99,7 @@ def repetition_struct(text: Column) -> list[Column]:
     dist = F.array_distinct(toks)
     n = F.size(toks)
     nd = F.size(dist)
-    top = F.array_max(
-        F.transform(dist, lambda t: F.size(F.filter(toks, lambda x: x == t)))
-    )
+    top = run_stats_col(toks)["best_cnt"]  # max token count via sorted-run fold
     # bigrams: zip each token with its successor; zip_with pads the shorter
     # side with null, so the trailing (last, null) pair filters out
     bg = F.filter(
@@ -149,21 +145,54 @@ def _ngram_arr(toks: Column, n: int) -> Column:
     )
 
 
+def run_stats_col(arr: Column) -> Column:
+    """(best_cnt, best_mass, dup_mass) over a string array in ONE sorted
+    fold: sort, then scan runs of equal values —
+
+    * ``best_cnt``  = max run length            (= max element count)
+    * ``best_mass`` = max run_length × chars    (= heaviest count×len)
+    * ``dup_mass``  = Σ over runs of length ≥ 2 of run_length × chars
+      (incremental: +2·len at an element's second occurrence, +len per
+      further occurrence)
+
+    O(n log n) sort + O(n) fold per document, replacing the naive
+    count-each-distinct-element formulation that is O(n × n_distinct) WITH
+    the array expression re-evaluated per distinct element (interpreted
+    higher-order lambdas have no cross-call caching) — 20× on repetitive
+    docs. Values are provably identical, so the naive per-distinct formula
+    stays in the DuckDB oracles as the independent spec."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_cnt"),
+        F.lit(0).cast("long").alias("best_mass"),
+        F.lit(0).cast("long").alias("dup_mass"),
+    )
+
+    def merge(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        ln = F.length(x).cast("long")
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best_cnt"], run).alias("best_cnt"),
+            F.greatest(acc["best_mass"], run * ln).alias("best_mass"),
+            (
+                acc["dup_mass"]
+                + F.when(run == 2, 2 * ln).when(run > 2, ln).otherwise(F.lit(0))
+            ).alias("dup_mass"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, merge)
+
+
 def top_ngram_chars_col(toks: Column, n: int) -> Column:
     """Character mass (occurrences × chars of the space-joined gram) of the
     HEAVIEST n-gram — deterministic under most-frequent ties (it maximizes
     count × length directly, a monotone bound of Gopher's most-frequent-
     n-gram character fraction). Integer, 0 for docs shorter than n."""
-    g = _ngram_arr(toks, n)
-    return F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(g),
-                lambda t: F.size(F.filter(g, lambda x: x == t)) * F.length(t),
-            )
-        ),
-        F.lit(0),
-    )
+    return run_stats_col(_ngram_arr(toks, n))["best_mass"]
 
 
 def dup_ngram_chars_col(toks: Column, n: int) -> Column:
@@ -171,16 +200,7 @@ def dup_ngram_chars_col(toks: Column, n: int) -> Column:
     count ≥ 2 of count × chars (each occurrence's span counted
     independently — a documented over-count of Gopher's overlap-aware
     character fraction, in the conservative direction). Integer."""
-    g = _ngram_arr(toks, n)
-    return F.aggregate(
-        F.array_distinct(g),
-        F.lit(0),
-        lambda acc, t: acc
-        + F.when(
-            F.size(F.filter(g, lambda x: x == t)) >= 2,
-            F.size(F.filter(g, lambda x: x == t)) * F.length(t),
-        ).otherwise(F.lit(0)),
-    )
+    return run_stats_col(_ngram_arr(toks, n))["dup_mass"]
 
 
 def repetition_struct_full(text: Column) -> list[Column]:
@@ -190,10 +210,10 @@ def repetition_struct_full(text: Column) -> list[Column]:
     signal an exact integer, every threshold an integer cross-multiplication
     (never floats), so the whole filter replays bit-identically in SQL.
 
-    Cost note: each signal is O(n_tokens × n_distinct_grams) per document
-    via interpreted higher-order folds (same class as ``top_token_count``);
-    post-length-gate documents keep this a bounded per-row constant, and a
-    skewed giant doc degrades one task, never a shuffle."""
+    Cost note: each signal is one O(n log n) sorted-run fold per gram order
+    (:func:`run_stats_col`); post-length-gate documents keep this a bounded
+    per-row constant, and a skewed giant doc degrades one task, never a
+    shuffle."""
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     chars = F.length(F.array_join(toks, " "))
     tops = {n: top_ngram_chars_col(toks, n) for n in GOPHER_TOP_NGRAM_PCT}
@@ -224,6 +244,33 @@ def lang_id_col(text: Column, en_threshold: float = 0.1) -> Column:
     plumbing — narrow, codegen'd, no shuffle — is identical.)"""
     ratio = stopword_hits_col(text) / F.greatest(token_count_col(text), F.lit(1))
     return F.when(ratio >= en_threshold, F.lit("en")).otherwise(F.lit("other"))
+
+
+# PII patterns: RE2-safe subset (no backrefs/lookarounds) so Java regex and
+# DuckDB RE2 match identically — a training-corpus scrub must behave the
+# same in the engine and in any SQL-side audit
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d{1,2}[-. ]\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Exact match counts per PII class (BIGINT)."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+    ]
+
+
+def scrub_pii_col(text: Column) -> Column:
+    """Replace emails then phones with typed placeholder tags — the standard
+    pre-training scrub, narrow and codegen'd (regexp_replace is global in
+    both Spark and DuckDB-with-'g')."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
 
 
 def fingerprint_col(text: Column, bits_hex: int = 16) -> Column:

@@ -66,12 +66,32 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return _canonical(star)
 
 
+def _driver_union_find(pairs: list[tuple]) -> dict:
+    """Path-halving union-find with min-id roots — the exact same labels the
+    star rounds converge to."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
     return_rounds: bool = False,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, comp) labels; comp = the component's minimum node id.
 
@@ -79,15 +99,42 @@ def connected_components(
     key upstream if needed). Nodes with no edge are absent from the output
     (they are their own singleton components by definition).
 
+    TWO physical paths behind one semantics:
+
+    * edge count ≤ ``driver_threshold`` → ONE count job + one collect +
+      driver union-find. A curation near-dup pair list is usually tiny
+      relative to the corpus (pairs, not documents), and the star rounds'
+      per-round job overhead (checkpoint + convergence action × O(log²n)
+      rounds) dominates small graphs by 10-50×. 10⁶ edges ≈ tens of MB on
+      the driver — the same order as a broadcast entity pool.
+    * larger → alternating large-star/small-star rounds (the 100-TB path:
+      edge-list-only shuffles, no driver materialization). Set
+      ``driver_threshold=0`` to force it (tests do).
+
     Raises if ``max_rounds`` exhausts before the star fixpoint — returning
     non-converged labels would be a SILENTLY wrong clustering. Unreachable
     in practice (O(log^2 n) convergence means 50 rounds covers any feasible
     graph), but the failure must be loud. ``return_rounds`` additionally
-    returns the number of star rounds executed (for convergence tests).
+    returns the number of star rounds executed (0 on the driver path).
     """
-    cur = _canonical(
+    # materialize the canonical edge set ONCE up front: the count probe,
+    # the driver collect, and round 1 of the star path all read the
+    # checkpoint instead of re-executing the (possibly expensive — e.g. a
+    # full MinHash near-dup join) upstream lineage
+    canon = _canonical(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint()
+    if driver_threshold and canon.count() <= driver_threshold:
+        comp = _driver_union_find(
+            [(r["u"], r["v"]) for r in canon.collect()]
+        )
+        spark = edges.sparkSession
+        out_t = canon.schema["u"].dataType.simpleString()
+        labels = spark.createDataFrame(
+            sorted(comp.items()), f"node {out_t}, comp {out_t}"
+        )
+        return (labels, 0) if return_rounds else labels
+    cur = canon
     converged = False
     rounds = 0
     for _ in range(max_rounds):

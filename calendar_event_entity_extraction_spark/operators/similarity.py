@@ -75,6 +75,49 @@ def lsh_bucket_col(vec, planes: int, dims: int):
     return F.concat(*[_hyperplane_sign(vec, p, dims) for p in range(planes)])
 
 
+def hyperplane_bucket_udf(planes: int, dims: int, base: int = 0):
+    """Arrow-batched hyperplane bucketing — the production path for
+    :func:`lsh_topk` / :func:`cosine_near_duplicates`. Same derivation as
+    :func:`_hyperplane_sign` (which stays as the spec/equality pin): weight
+    (p, d) = +1 iff the first hex char of md5(f"{p}|{d}") ≥ '8', computed
+    here with hashlib (identical digests); the dot product accumulates via
+    numpy ``cumsum`` — the same left fold as the Column ``aggregate`` — so
+    every sign bit is reproduced exactly and the ``ann_lsh_topk`` /
+    ``embedding_neardup`` oracles keep hash-matching. The Column
+    formulation evaluates planes × dims interpreted lambda steps per row
+    (no codegen for higher-order functions); this kernel is two vectorized
+    numpy ops per plane per batch. ``base`` offsets the plane index for
+    multi-band signatures."""
+    import hashlib
+
+    import numpy as np
+
+    W = np.array(
+        [
+            [
+                1.0
+                if hashlib.md5(f"{base + p}|{d}".encode()).hexdigest()[0] >= "8"
+                else -1.0
+                for d in range(dims)
+            ]
+            for p in range(planes)
+        ]
+    )
+
+    @F.pandas_udf("string")
+    def bucket(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(emb.tolist(), dtype=np.float64)
+        bits = [
+            np.where((V * W[p]).cumsum(axis=1)[:, -1] >= 0, "1", "0")
+            for p in range(W.shape[0])
+        ]
+        return pd.Series(["".join(row) for row in zip(*bits)])
+
+    return bucket
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -86,8 +129,9 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's LSH bucket are
     scored. Recall < 1; cost drops ~2^planes. Same output schema as
-    brute_force_topk."""
-    bucket = lsh_bucket_col(F.col(vec_col), planes, dims)
+    brute_force_topk. Bucketing runs in the Arrow kernel
+    (:func:`hyperplane_bucket_udf`, bit-exact with the Column spec)."""
+    bucket = hyperplane_bucket_udf(planes, dims)(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -298,14 +342,9 @@ def cosine_near_duplicates(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.concat(
-                    *[
-                        _hyperplane_sign(
-                            F.col(vec_col), b * planes_per_band + p, dims
-                        )
-                        for p in range(planes_per_band)
-                    ]
-                ).alias("band_key"),
+                hyperplane_bucket_udf(
+                    planes_per_band, dims, base=b * planes_per_band
+                )(F.col(vec_col)).alias("band_key"),
             )
             for b in range(bands)
         ]

@@ -189,6 +189,28 @@ def test_simhash_production_path_matches_spec(spark):
         assert r["fast"] == r["spec"], r
 
 
+def test_hyperplane_bucket_udf_matches_spec(vectors):
+    """The Arrow bucket kernel must emit the exact bit pattern of the
+    Column-expression spec `_hyperplane_sign` for every vector, including a
+    non-zero plane base (the multi-band path)."""
+    from calendar_event_entity_extraction_spark.operators.similarity import (
+        _hyperplane_sign,
+        hyperplane_bucket_udf,
+    )
+
+    df, _ = vectors
+    spec = F.concat(
+        *[_hyperplane_sign(F.col("embedding"), 3 + p, 16) for p in range(5)]
+    )
+    both = df.select(
+        "vec_id",
+        hyperplane_bucket_udf(5, 16, base=3)(F.col("embedding")).alias("fast"),
+        spec.alias("spec"),
+    )
+    for r in both.collect():
+        assert r["fast"] == r["spec"], r["vec_id"]
+
+
 def test_cosine_neardup_banded(vectors):
     from calendar_event_entity_extraction_spark.operators.similarity import (
         cosine_near_duplicates,

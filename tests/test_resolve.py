@@ -32,11 +32,18 @@ def _union_find(edges):
 
 def _check(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {
-        r["node"]: r["comp"]
-        for r in connected_components(df, "src", "dst").collect()
-    }
-    assert got == _union_find(edges)
+    got = {}
+    # both physical paths must agree with the ground truth: the distributed
+    # star rounds (driver_threshold=0 forces them) and the small-graph
+    # driver union-find fast path (default threshold)
+    for thresh in (0, 1_000_000):
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(
+                df, "src", "dst", driver_threshold=thresh
+            ).collect()
+        }
+        assert got == _union_find(edges), f"driver_threshold={thresh}"
     return got
 
 
@@ -49,8 +56,10 @@ def test_long_chain_converges_in_log_rounds(spark):
     # round-count pin: alternating star rounds are O(log^2 n), so the
     # 64-node chain must converge far below the diameter bound
     df = spark.createDataFrame(edges, "src long, dst long")
-    _, rounds = connected_components(df, "src", "dst", return_rounds=True)
-    assert rounds <= 10, rounds
+    _, rounds = connected_components(
+        df, "src", "dst", return_rounds=True, driver_threshold=0
+    )
+    assert 1 <= rounds <= 10, rounds
 
 
 def test_nonconvergence_raises(spark):
@@ -58,7 +67,9 @@ def test_nonconvergence_raises(spark):
     edges = [(i, i + 1) for i in range(63)]
     df = spark.createDataFrame(edges, "src long, dst long")
     with pytest.raises(RuntimeError, match="fixpoint"):
-        connected_components(df, "src", "dst", max_rounds=1)
+        connected_components(
+            df, "src", "dst", max_rounds=1, driver_threshold=0
+        )
 
 
 def test_hot_node_star_and_disjoint_components(spark):
