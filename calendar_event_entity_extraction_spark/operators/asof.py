@@ -71,6 +71,81 @@ def asof_join(
     )
 
 
+def asof_join_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: str,
+    right_key: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """The WIDE-PAYLOAD fallback: cogrouped ``applyInPandas`` running
+    ``pd.merge_asof`` per key group. Identical semantics to
+    :func:`asof_join` (backward, <=, equal-right-ts ties to max payload —
+    merge_asof keeps the LAST row in (ts, payload) sort order, which IS the
+    max-payload rule; pinned by the shared oracle row).
+
+    When to pick it: the union+window paths carry the whole left row
+    through the shuffle as one struct — fine for slim rows, wasteful when
+    the RIGHT side has many columns to attach (the union would widen every
+    row by the full payload struct). Here each side shuffles only itself,
+    and the per-group pandas join attaches any number of columns at Arrow
+    speed. Trade: per-group Python (Arrow-batched), and a hot key still
+    lands in one group — combine with time-bucketing upstream if both
+    problems coexist."""
+    import pandas as pd
+
+    right_key = right_key or left_key
+    out_col = out_col or payload
+    # merge_asof requires a common ordered dtype: timestamps on both sides
+    l_cast = left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+    r_slim = right.select(
+        F.col(right_key).alias("_rk"),
+        F.col(right_ts).cast("timestamp").alias("_rts"),
+        F.col(payload).alias("_pl"),
+    )
+    # a FRESH StructType — StructType.add would mutate the DataFrame's
+    # cached schema object and make pyspark's cogroup machinery see a
+    # phantom column on l_cast itself
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(l_cast.schema.fields)
+        + [T.StructField(out_col, right.schema[payload].dataType, True)]
+    )
+    left_cols = list(left.columns)
+    # unmatched rows surface as NaN in a float column; an integral payload
+    # must go back through pandas' NULLABLE integer dtype or the Arrow
+    # conversion to LongType rejects the NaNs
+    int_payload = right.schema[payload].dataType.simpleString() in (
+        "bigint", "int", "smallint", "tinyint",
+    )
+
+    def fn(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(l_pdf) == 0:
+            return pd.DataFrame(columns=[*left_cols, out_col])
+        l_sorted = l_pdf.sort_values(left_ts, kind="mergesort")
+        r_sorted = r_pdf.sort_values(["_rts", "_pl"], kind="mergesort")
+        m = pd.merge_asof(
+            l_sorted,
+            r_sorted[["_rts", "_pl"]],
+            left_on=left_ts,
+            right_on="_rts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m[out_col] = m["_pl"].astype("Int64") if int_payload else m["_pl"]
+        return m[[*left_cols, out_col]]
+
+    return (
+        l_cast.groupBy(left_key)
+        .cogroup(r_slim.groupBy("_rk"))
+        .applyInPandas(fn, schema=out_schema)
+    )
+
+
 def asof_join_bucketed(
     left: DataFrame,
     right: DataFrame,

@@ -184,6 +184,21 @@ def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "latest_orderkey")
 
 
+def q_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogrouped ``pd.merge_asof`` as-of variant (wide-payload
+    fallback) — byte-identical results again, same oracle: one oracle pins
+    all THREE physical as-of strategies."""
+    from .operators.asof import asof_join_grouped
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    return asof_join_grouped(
+        e, o, left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        payload="o_orderkey", out_col="latest_orderkey",
+    ).select("event_id", "latest_orderkey")
+
+
 def relational_queries() -> dict:
     return {
         "pricing_summary": q_pricing_summary,
@@ -193,6 +208,7 @@ def relational_queries() -> dict:
         "sessionization": q_sessionization,
         "asof_latest_order": q_asof_latest_order,
         "asof_bucketed": q_asof_bucketed,
+        "asof_grouped": q_asof_grouped,
     }
 
 
@@ -205,4 +221,5 @@ def relational_oracles() -> dict:
         "sessionization": O_SESSIONIZATION,
         "asof_latest_order": O_ASOF_LATEST_ORDER,
         "asof_bucketed": O_ASOF_LATEST_ORDER,
+        "asof_grouped": O_ASOF_LATEST_ORDER,
     }

@@ -72,3 +72,46 @@ def run_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_curate(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_punct_per_100_chars: int = 10,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Continuous-ingest curation: the SAME narrow gates as
+    ``plans/curate.curate_documents`` (quality + Gopher repetition — pure
+    stateless streaming maps, one definition for both modes), then
+    bounded-state exact dedup on the normalized text fingerprint via
+    ``dropDuplicatesWithinWatermark`` — state for a fingerprint is dropped
+    once the watermark passes it, so dedup memory is bounded by the
+    watermark horizon instead of the stream's lifetime.
+
+    Semantics difference vs the batch path, by design: batch first-wins
+    keeps the MIN doc_id; a stream keeps the FIRST ARRIVAL (there is no
+    global order in an unbounded stream). Both are deterministic for their
+    execution mode."""
+    from ..functions.text import (
+        fingerprint_col,
+        keep_repetition_col,
+        punct_count_col,
+        token_count_col,
+    )
+
+    n_tok = token_count_col(F.col("text"))
+    n_punct = punct_count_col(F.col("text"))
+    ok = (
+        (n_tok >= min_tokens)
+        & (n_tok <= max_tokens)
+        & (n_punct * 100 <= F.length("text") * max_punct_per_100_chars)
+    )
+    return (
+        docs.filter(ok & keep_repetition_col(F.col("text")))
+        .withColumn("_fp", fingerprint_col(F.col("text")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from calendar_event_entity_extraction_spark.operators.asof import (
     asof_join,
     asof_join_bucketed,
+    asof_join_grouped,
 )
 from calendar_event_entity_extraction_spark.operators.extract import extract_events
 from calendar_event_entity_extraction_spark.streaming.stateful import (
@@ -93,6 +94,39 @@ def test_asof_bucketed_matches_plain_on_hot_key(spark, bucket_seconds):
     )
     assert list(plain["asof_payload"].fillna(-1)) == list(
         bucketed["asof_payload"].fillna(-1)
+    )
+
+
+def test_asof_grouped_matches_plain(spark):
+    """The cogrouped merge_asof fallback must equal the union+window path,
+    including on keys with no right rows (null payload) and repeated right
+    timestamps (max-payload tie)."""
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 6, 120),  # key 5 has no right rows
+            "lts": rng.randint(0, 500, 120).astype("float64"),
+            "lid": np.arange(120),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, 80),
+            "rts": rng.randint(0, 500, 80).astype("float64"),
+            "payload": np.arange(80).astype("int64"),
+        }
+    )
+    kwargs = dict(
+        left_key="k", right_key="k", left_ts="lts", right_ts="rts",
+        payload="payload", out_col="asof_payload",
+    )
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    plain = asof_join(ldf, rdf, **kwargs).toPandas().sort_values("lid")
+    grouped = (
+        asof_join_grouped(ldf, rdf, **kwargs).toPandas().sort_values("lid")
+    )
+    assert list(plain["asof_payload"].fillna(-1)) == list(
+        grouped["asof_payload"].fillna(-1)
     )
 
 

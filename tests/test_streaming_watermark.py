@@ -82,3 +82,47 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = {(r["conv_id"], r["turn_idx"]) for r in out}
     # the echo (a, 1) deduplicates against (a, 0); first arrival wins
     assert got == {("a", 0), ("b", 0)}, got
+
+
+def test_streaming_curate_gates_and_dedup(spark, tmp_path):
+    """The curation gates run unchanged under readStream (stateless maps),
+    and exact dedup holds across micro-batches with bounded state: the
+    duplicate text in batch 2 is dropped, the short/degenerate docs never
+    pass the gates."""
+    import datetime as dt
+
+    from calendar_event_entity_extraction_spark.streaming.extract_stream import (
+        streaming_curate,
+    )
+
+    base = str(tmp_path / "curate_in")
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    good = "a perfectly ordinary document with more than ten whitespace tokens inside"
+    other = "another reasonable document body that easily clears every quality gate here"
+    schema = "doc_id long, text string, ts timestamp"
+    b1 = [
+        (1, good, t0),
+        (2, "too short", t0),                      # fails min_tokens
+        (3, "x " * 40 + "x", t0),                  # fails repetition gates
+    ]
+    b2 = [
+        (4, good, t0 + dt.timedelta(minutes=10)),  # duplicate of doc 1
+        (5, other, t0 + dt.timedelta(minutes=20)),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(base)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(base)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(base)
+    )
+    out = streaming_curate(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curate_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM curate_out").collect())
+    assert kept == [1, 5], kept
