@@ -194,6 +194,8 @@ def main() -> None:
             "repetition_stats",
             "pii_scrub",
             "vocab_topk",
+            "decontaminate",
+            "embedding_quantize",
             "ann_topk",
             "ann_lsh_topk",
             "ann_ivf_topk",

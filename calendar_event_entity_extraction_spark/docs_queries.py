@@ -853,6 +853,67 @@ FROM r WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the corpus is the planted table (which
+    contains mutated near-copies of doc_id%20==3 docs), the 'benchmark' is
+    the original %20==3 docs — every planted copy AND its source shares
+    8-grams with the benchmark, so both must drop; unrelated docs survive.
+    The surviving id set is recomputed ab initio by the oracle through the
+    same n-gram semi/anti join."""
+    from .operators.splits import decontaminate
+
+    corpus = _docs_planted(spark, sf_dir)
+    benchmark = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 3).select(
+        "doc_id", "text"
+    )
+    return decontaminate(corpus, benchmark, "doc_id", "text", n=8).select("doc_id")
+
+
+def _gram8_sql(src: str) -> str:
+    cat = " || ' ' || ".join("tk[i]" if j == 0 else f"tk[i+{j}]" for j in range(8))
+    return f"""
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(tk) - 8 + 1, 0) + 1), i -> {cat}))) AS g
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS tk FROM {src})
+"""
+
+
+O_DECONTAMINATE = f"""
+WITH {_PLANTED_SQL},
+cg AS ({_gram8_sql("planted")}),
+bg AS (
+  SELECT DISTINCT g FROM ({_gram8_sql("(SELECT * FROM documents WHERE doc_id % 20 = 3)")})
+),
+bad AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM bg))
+SELECT doc_id FROM planted WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — bit-identical integers in
+    both engines (exact max-abs fold, pinned half-up rounding)."""
+    from .functions.vectors import quantize_int8_col
+
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", quantize_int8_col(F.col("embedding")).alias("q"))
+    )
+
+
+O_EMBEDDING_QUANTIZE = """
+WITH m AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxab
+  FROM embeddings
+)
+SELECT vec_id,
+       CASE WHEN maxab = 0 THEN list_transform(v, x -> 0)
+            ELSE list_transform(v, x -> CAST(floor(x / maxab * 127 + 0.5) AS INT))
+       END AS q
+FROM m
+"""
+
+
 # ---------------------------------------------------------------- vectors
 
 
@@ -1158,6 +1219,8 @@ def docs_queries() -> dict:
         "vocab_topk": q_vocab_topk,
         "neardup_keep_longest": q_neardup_keep_longest,
         "lang_median_tokens": q_lang_median_tokens,
+        "decontaminate": q_decontaminate,
+        "embedding_quantize": q_embedding_quantize,
         "sequence_packing": q_sequence_packing,
         "multimodal_features": q_multimodal_features,
         "multimodal_decode": q_multimodal_decode,
@@ -1189,6 +1252,8 @@ def docs_oracles() -> dict:
         "vocab_topk": O_VOCAB_TOPK,
         "neardup_keep_longest": O_NEARDUP_KEEP_LONGEST,
         "lang_median_tokens": O_LANG_MEDIAN,
+        "decontaminate": O_DECONTAMINATE,
+        "embedding_quantize": O_EMBEDDING_QUANTIZE,
         "sequence_packing": O_SEQUENCE_PACKING,
         "multimodal_features": O_MULTIMODAL,
         "multimodal_decode": O_MULTIMODAL_DECODE,

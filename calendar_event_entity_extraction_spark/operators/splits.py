@@ -76,6 +76,42 @@ def drop_split_leakage(
     return train.unionByName(ev).unionByName(te).drop("_sig")
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3-style training-set scrub): drop
+    every corpus document sharing ANY word ``n``-gram with the benchmark
+    set — a fuzzy generalization of :func:`drop_split_leakage`'s exact
+    signature anti-join.
+
+    Shape: corpus side explodes DISTINCT per-doc n-grams (narrow), the
+    benchmark n-gram set is aggregated distinct first (small — benchmarks
+    are thousands of rows, so the semi-join broadcasts), contaminated ids
+    come from one left-semi join, and the final pass is a left-anti join.
+    At 100 TB the corpus n-gram explosion is the dominant cost: it is
+    linear in corpus tokens and never shuffles the corpus itself — only
+    (id, gram) pairs shuffle, and only when the benchmark side is too big
+    to broadcast."""
+    from ..functions.text import _ngram_arr
+
+    toks = lambda c: F.split(F.lower(F.trim(c)), r"\s+")  # noqa: E731
+    cg = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(_ngram_arr(toks(F.col(text_col)), n))).alias("_g"),
+    )
+    bg = benchmark.select(
+        F.explode(F.array_distinct(_ngram_arr(toks(F.col(text_col)), n))).alias("_g")
+    ).distinct()
+    contaminated = cg.join(bg, "_g", "left_semi").select("_id").distinct()
+    return corpus.join(
+        contaminated.withColumnRenamed("_id", id_col), id_col, "left_anti"
+    )
+
+
 def deterministic_sample(df: DataFrame, key: str, n: int, seed: int = 42) -> DataFrame:
     """Reference's ``random.sample(data, n)`` (``evaluate_baseline.py:126``)
     as a deterministic top-n by seeded hash — stable under retries and

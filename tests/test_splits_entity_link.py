@@ -90,3 +90,52 @@ def test_deterministic_sample_stable(spark):
     a = [r["k"] for r in deterministic_sample(df, "k", 50).collect()]
     b = [r["k"] for r in deterministic_sample(df, "k", 50).collect()]
     assert a == b and len(a) == 50
+
+
+def test_decontaminate_drops_ngram_overlap(spark):
+    from pyspark.sql import functions as F
+
+    from calendar_event_entity_extraction_spark.operators.splits import (
+        decontaminate,
+    )
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text + " extra suffix tokens"),       # shares 8-grams
+            (2, "prefix " + bench_text),                     # shares 8-grams
+            (3, "totally unrelated words one two three four five six seven"),
+            (4, "alpha bravo charlie delta only a short overlap here now"),  # <8-gram overlap
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame([(99, bench_text)], "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(corpus, benchmark, n=8).select("doc_id").collect()
+    )
+    assert kept == [3, 4], kept
+
+
+def test_quantize_int8_roundtrip_bound(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from calendar_event_entity_extraction_spark.functions.vectors import (
+        quantize_int8_col,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(50)]
+    rows.append((50, [0.0] * 16))  # all-zero vector -> all-zero ints
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["q"] for r in df.select(
+        "vec_id", quantize_int8_col(F.col("embedding")).alias("q")
+    ).collect()}
+    assert out[50] == [0] * 16
+    for i, vec in rows[:50]:
+        v = np.array(vec, dtype=np.float64)
+        maxab = np.abs(v).max()
+        deq = np.array(out[i], dtype=np.float64) / 127.0 * maxab
+        assert np.abs(deq - v).max() <= maxab / 127.0 + 1e-12
+        assert max(map(abs, out[i])) <= 127
