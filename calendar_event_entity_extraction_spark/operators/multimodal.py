@@ -77,8 +77,11 @@ def extract_features(
     """
     if not fake:
         raise NotImplementedError(
-            "real media decoding needs image/audio libs not present in this "
-            "environment; pass fake=True for the deterministic stub decoder"
+            "generic featurize with fake=False is the plug-in point for "
+            "codecs that need external libs (JPEG/MP3/video) — none ship in "
+            "this environment. REAL stdlib decoding exists for RIFF/WAVE "
+            "and binary PPM via decode_media_features; pass fake=True here "
+            "for the deterministic stub kernel"
         )
 
     import numpy as np
