@@ -24,7 +24,6 @@ from .functions.text import (
 from .operators.dedup import (
     dedup_first_wins,
     minhash_near_duplicates,
-    minhash_signature,
 )
 from .operators.similarity import brute_force_topk
 from .operators.splits import assign_split, drop_split_leakage
@@ -96,8 +95,16 @@ O_DEDUP_EXACT = f"WITH {_PLANTED_SQL} SELECT min(doc_id) AS doc_id FROM planted 
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", *minhash_signature(F.col("text"), perms=4))
+    """Production signature path (Arrow kernel, `minhash_sigs_udf`) pinned
+    against the DuckDB per-perm spec oracle — the hash match proves the
+    kernel's tokenize/shingle/hash/min replicates the Column spec."""
+    from .operators.dedup import minhash_sigs_udf
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", minhash_sigs_udf(perms=4)(F.col("text")).alias("_mhs")
+    ).select(
+        "doc_id", *[F.element_at("_mhs", j + 1).alias(f"mh{j}") for j in range(4)]
+    )
 
 
 O_MINHASH_SIG = f"""

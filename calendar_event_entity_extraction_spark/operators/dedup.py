@@ -17,6 +17,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -85,18 +86,64 @@ def minhash_signature(text: Column, perms: int = 8, n: int = 3) -> list[Column]:
     return minhash_from_shingles(shingles_col(text, n), perms)
 
 
+def minhash_sigs_udf(perms: int = 8, n: int = 3):
+    """Arrow-batched MinHash signatures — the production path for
+    :func:`minhash_bands`. Emits exactly the values of
+    :func:`minhash_signature` (which stays as the Column spec the oracles
+    mirror): per doc, min over distinct word-``n``-gram shingles of
+    md5(f"{j}|" || shingle) per permutation, None-filled when the doc has
+    fewer than ``n`` tokens (so downstream band keys stay null and never
+    equi-join). hashlib md5 hex == Spark md5 hex; Python min over hex
+    strings == array_min; tokenization replicates the JVM byte-for-byte —
+    `.strip(" ")` matches `F.trim`'s ASCII-space-only semantics, and the
+    split pattern is Java's `\\s` class ``[ \\t\\n\\x0B\\f\\r]`` spelled
+    out literally, NOT Python's unicode-aware ``\\s``.
+    The Column formulation evaluates perms × shingles interpreted md5
+    lambda steps per row; this kernel is one C md5 per (perm, shingle)."""
+    import hashlib
+    import re
+
+    java_ws = re.compile(r"[ \t\n\x0B\f\r]+")
+
+    @F.pandas_udf("array<string>")
+    def sigs(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = java_ws.split(t.strip(" ").lower())
+            if len(toks) < n:
+                out.append([None] * perms)
+                continue
+            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            out.append(
+                [
+                    min(
+                        hashlib.md5(f"{j}|{s}".encode()).hexdigest() for s in sh
+                    )
+                    for j in range(perms)
+                ]
+            )
+        return pd.Series(out)
+
+    return sigs
+
+
 def minhash_bands(df: DataFrame, id_col: str, text_col: str, perms: int = 8, rows_per_band: int = 2, n: int = 3) -> DataFrame:
     """id, band_idx, band_key — LSH banding of the minhash signature.
 
-    Shingles are materialized in their own projection so the (expensive)
-    tokenize+shingle expression is computed once per row, not once per
-    permutation — CollapseProject keeps non-cheap multi-referenced aliases
-    in separate stages.
+    Signatures come from the Arrow kernel (:func:`minhash_sigs_udf`, one C
+    md5 per (perm, shingle)); the signature array is materialized as an
+    attribute so the per-perm `element_at`s are cheap single references.
     """
-    sh_df = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("_sh")
+    with_sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_sigs_udf(perms, n)(F.col(text_col)).alias("_mhs"),
+    ).select(
+        "id",
+        *[F.element_at("_mhs", j + 1).alias(f"mh{j}") for j in range(perms)],
     )
-    with_sig = sh_df.select("id", *minhash_from_shingles(F.col("_sh"), perms))
     bands = perms // rows_per_band
 
     def _band_key(b: int):

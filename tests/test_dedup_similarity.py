@@ -189,6 +189,34 @@ def test_simhash_production_path_matches_spec(spark):
         assert r["fast"] == r["spec"], r
 
 
+def test_minhash_kernel_matches_spec(spark):
+    """The Arrow signature kernel must equal the Column spec on adversarial
+    inputs: tabs/newlines (Java \\s class), non-breaking space (NOT
+    whitespace to Java — must stay inside a token), leading/trailing
+    spaces, short docs, mixed case."""
+    from calendar_event_entity_extraction_spark.operators.dedup import (
+        minhash_signature,
+        minhash_sigs_udf,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "  padded   with\tmixed\nwhitespace tokens here  "),
+        (2, "nbsp joined token stays one piece with more words"),
+        (3, "two tokens"),          # < 3 tokens -> null signatures
+        (4, "Case MIXED Case mixed case tokens repeated Case"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    both = df.select(
+        "doc_id",
+        minhash_sigs_udf(perms=4)(F.col("text")).alias("fast"),
+        F.array(*minhash_signature(F.col("text"), perms=4)).alias("spec"),
+    )
+    for r in both.collect():
+        assert r["fast"] == r["spec"], (r["doc_id"], r["fast"], r["spec"])
+
+
 def test_hyperplane_bucket_udf_matches_spec(vectors):
     """The Arrow bucket kernel must emit the exact bit pattern of the
     Column-expression spec `_hyperplane_sign` for every vector, including a
