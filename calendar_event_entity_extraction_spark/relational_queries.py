@@ -166,37 +166,46 @@ SELECT event_id, latest_orderkey FROM (
 """
 
 
-def q_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SKEW-HARDENED as-of join (window on (key, 30-day time bucket)
-    with carried-forward bucket boundaries) — must produce byte-identical
-    results to the plain union+window path, so it shares
-    ``O_ASOF_LATEST_ORDER``: the hash compare pins the whole carry
-    machinery, not just its skew behavior (which `test_stateful_asof`'s
-    hot-key fixture covers)."""
-    from .operators.asof import asof_join_bucketed
+def q_asof_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two ALTERNATIVE physical as-of strategies in ONE driver row
+    (round-3 lesson: the driver grades at most 50 registry entries, and
+    these two — registered last — fell outside the window, leaving the
+    flagship skew-hardened strategy ungraded):
+
+    * ``bucketed`` — the SKEW-HARDENED as-of join (window on (key, 30-day
+      time bucket) with carried-forward bucket boundaries; a hot key splits
+      across time buckets instead of serializing into one sorted task).
+    * ``grouped``  — the cogrouped ``pd.merge_asof`` variant (wide-payload
+      fallback: Arrow batches, no row explosion of the payload struct).
+
+    Both must produce byte-identical results to the plain union+window path
+    (``q_asof_latest_order``), so the oracle is O_ASOF_LATEST_ORDER
+    cross-joined with the strategy labels: ONE hash compare pins the whole
+    carry machinery of both variants (skew behavior itself is covered by
+    `test_stateful_asof`'s hot-key fixture)."""
+    from .operators.asof import asof_join_bucketed, asof_join_grouped
 
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
-    return asof_join_bucketed(
-        e, o, left_key="user_id", right_key="o_custkey",
+    kw = dict(
+        left_key="user_id", right_key="o_custkey",
         left_ts="ts", right_ts="o_orderdate",
         payload="o_orderkey", out_col="latest_orderkey",
-    ).select("event_id", "latest_orderkey")
+    )
+    b = asof_join_bucketed(e, o, **kw).select(
+        F.lit("bucketed").alias("strategy"), "event_id", "latest_orderkey"
+    )
+    g = asof_join_grouped(e, o, **kw).select(
+        F.lit("grouped").alias("strategy"), "event_id", "latest_orderkey"
+    )
+    return b.unionByName(g)
 
 
-def q_asof_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The cogrouped ``pd.merge_asof`` as-of variant (wide-payload
-    fallback) — byte-identical results again, same oracle: one oracle pins
-    all THREE physical as-of strategies."""
-    from .operators.asof import asof_join_grouped
-
-    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
-    return asof_join_grouped(
-        e, o, left_key="user_id", right_key="o_custkey",
-        left_ts="ts", right_ts="o_orderdate",
-        payload="o_orderkey", out_col="latest_orderkey",
-    ).select("event_id", "latest_orderkey")
+O_ASOF_STRATEGIES = f"""
+SELECT s.strategy, a.event_id, a.latest_orderkey
+FROM ({O_ASOF_LATEST_ORDER}) a
+CROSS JOIN (VALUES ('bucketed'), ('grouped')) s(strategy)
+"""
 
 
 def relational_queries() -> dict:
@@ -207,8 +216,7 @@ def relational_queries() -> dict:
         "customers_without_orders": q_customers_without_orders,
         "sessionization": q_sessionization,
         "asof_latest_order": q_asof_latest_order,
-        "asof_bucketed": q_asof_bucketed,
-        "asof_grouped": q_asof_grouped,
+        "asof_strategies": q_asof_strategies,
     }
 
 
@@ -220,6 +228,5 @@ def relational_oracles() -> dict:
         "customers_without_orders": O_CUST_NO_ORDERS,
         "sessionization": O_SESSIONIZATION,
         "asof_latest_order": O_ASOF_LATEST_ORDER,
-        "asof_bucketed": O_ASOF_LATEST_ORDER,
-        "asof_grouped": O_ASOF_LATEST_ORDER,
+        "asof_strategies": O_ASOF_STRATEGIES,
     }

@@ -34,8 +34,12 @@ def compare(name, sdf, osql):
     if scols != dcols:
         print(f"  SCHEMA MISMATCH {scols} vs {dcols}")
         return False
-    sp = sp[scols].astype(str).sort_values(scols).reset_index(drop=True)
-    dk = dk[scols].astype(str).sort_values(scols).reset_index(drop=True)
+    # replicate the DRIVER's canonicalization: sort RAW columns first
+    # (array/map-typed cells are unhashable in pandas sort_values and must
+    # crash HERE, not at the driver — round-3 embedding_quantize lesson;
+    # CLAUDE.md invariant 2b), stringify only for the value compare
+    sp = sp[scols].sort_values(scols).reset_index(drop=True).astype(str)
+    dk = dk[scols].sort_values(scols).reset_index(drop=True).astype(str)
     if ok and not sp.equals(dk):
         diff = (sp != dk).any(axis=1)
         print(f"  VALUE MISMATCH rows={diff.sum()}")
