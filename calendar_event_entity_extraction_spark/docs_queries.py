@@ -877,23 +877,37 @@ FROM (
 
 def q_lang_median_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-stratum lower median of token counts (corpus length
-    audit): one window per lang. Exactness requires a per-stratum sort —
-    each stratum serializes into one task, fine for O(10) langs; at 100 TB
-    with high-cardinality strata use percentile_approx instead (this row
-    exists to pin the exact semantics)."""
+    audit), computed scale-safe via a HISTOGRAM (round-3 prescription #3;
+    the round-3 version ran row_number over every doc row, serializing each
+    stratum into one sorted task — English at 100 TB would be a single
+    task). Two-phase shape:
+
+    1. groupBy(lang, n_tok) count — the only corpus-scale shuffle, and a
+       partial (map-side combining) hash aggregate;
+    2. cumulative count over the HISTOGRAM: the per-stratum window input is
+       bounded by the number of DISTINCT token counts (≤ max document
+       length, ~10⁵), independent of corpus row count — a majority
+       language's window task stays small at any corpus scale.
+
+    The median row is the first histogram bin whose cumulative count
+    reaches floor((n+1)/2). Output identical to the per-row formulation
+    (ties in n_tok collapse into one bin, so the doc_id tie-break of the
+    row-level spec cannot change the selected VALUE); the unchanged oracle
+    still states the row-level spec, so the hash match proves the
+    histogram rewrite."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir).select(
-        "lang",
-        token_count_col(F.col("text")).cast("long").alias("n_tok"),
-        "doc_id",
+        "lang", token_count_col(F.col("text")).cast("long").alias("n_tok")
     )
-    w = Window.partitionBy("lang").orderBy("n_tok", "doc_id")
-    cnt = Window.partitionBy("lang")
+    hist = d.groupBy("lang", "n_tok").agg(F.count("*").alias("c"))
+    w_cum = Window.partitionBy("lang").orderBy("n_tok")
+    w_tot = Window.partitionBy("lang")
+    k = F.floor((F.col("n") + 1) / 2)
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count("*").over(cnt))
-        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        hist.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(w_tot))
+        .filter((F.col("cum") >= k) & (F.col("cum") - F.col("c") < k))
         .select(
             "lang",
             F.col("n_tok").alias("median_n_tokens"),
@@ -1058,15 +1072,18 @@ FROM documents
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode, oracle-checked: each doc becomes a VALID RIFF/WAVE
-    PCM payload (even ids) or binary-PPM image (odd ids), built as pure
-    Column hex expressions from the key; the Spark side then genuinely
-    PARSES those bytes back (struct header unpack + numpy frame math in an
-    Arrow kernel) while DuckDB derives the expected features from the same
-    key arithmetic — a hash match proves the decoder reads the byte layout
-    correctly end to end. No media libs involved: WAV and PPM are
-    stdlib-parseable formats."""
+    PCM payload (even ids), binary-PPM image (ids ≡ 1 mod 4) or 24-bpp BMP
+    (ids ≡ 3 mod 4), built as pure Column hex expressions from the key; the
+    Spark side then genuinely PARSES those bytes back (struct header unpack
+    + numpy frame math in an Arrow kernel) while DuckDB derives the expected
+    features from the same key arithmetic — a hash match proves the decoder
+    reads the byte layout correctly end to end. BMP and PPM share the same
+    LOGICAL raster formula but BMP stores it bottom-up/BGR/stride-padded,
+    so matching sums prove the un-swizzling, not just header math. No media
+    libs involved: WAV, PPM and BMP are stdlib-parseable formats."""
     from .operators.multimodal import (
         decode_media_features,
+        synth_bmp_hex_col,
         synth_ppm_hex_col,
         synth_wav_hex_col,
     )
@@ -1074,9 +1091,14 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("doc_id")
     media = _docs(spark, sf_dir).select(
         k.alias("media_id"),
-        F.when(k % 2 == 0, F.lit("wav")).otherwise(F.lit("ppm")).alias("kind"),
+        F.when(k % 2 == 0, F.lit("wav"))
+        .when(k % 4 == 1, F.lit("ppm"))
+        .otherwise(F.lit("bmp"))
+        .alias("kind"),
         F.unhex(
-            F.when(k % 2 == 0, synth_wav_hex_col(k)).otherwise(synth_ppm_hex_col(k))
+            F.when(k % 2 == 0, synth_wav_hex_col(k))
+            .when(k % 4 == 1, synth_ppm_hex_col(k))
+            .otherwise(synth_bmp_hex_col(k))
         ).alias("payload"),
     )
     return decode_media_features(media)
@@ -1098,7 +1120,9 @@ def _ppm_ch_sql(ch: int) -> str:
 
 O_MULTIMODAL_DECODE = f"""
 SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'ppm' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav'
+            WHEN doc_id % 4 = 1 THEN 'ppm'
+            ELSE 'bmp' END AS kind,
        CASE WHEN doc_id % 2 = 0 THEN CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) END AS sample_rate,
        CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 8 AS BIGINT) END AS n_samples,
        CASE WHEN doc_id % 2 = 0 THEN CAST(list_sum(list_transform(

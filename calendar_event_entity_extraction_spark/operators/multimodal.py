@@ -72,19 +72,66 @@ def extract_features(
     ``.str.len()``, one digest pass per batch whose bytes are featurized by
     a single numpy reshape/divide over the entire batch.
 
-    With ``fake=False`` this is where a real decoder plugs in — the
-    Spark-side contract is identical.
+    With ``fake=False`` the kernel runs the REAL stdlib decoders (RIFF/WAVE
+    PCM, binary PPM, 24-bpp BMP — the same parsers `decode_media_features`
+    uses) and featurizes the decoded content: images → [width, height,
+    mean_r, mean_g, mean_b]/255-scaled, audio → [sample_rate/48000,
+    n_samples, mean |amplitude|/32768]. A payload whose ``kind`` has no
+    stdlib codec (jpeg/mp3/video — the libs don't ship here) raises a
+    ValueError naming the kind; plugging a library decoder in means adding
+    one `elif` to this kernel.
     """
-    if not fake:
-        raise NotImplementedError(
-            "generic featurize with fake=False is the plug-in point for "
-            "codecs that need external libs (JPEG/MP3/video) — none ship in "
-            "this environment. REAL stdlib decoding exists for RIFF/WAVE "
-            "and binary PPM via decode_media_features; pass fake=True here "
-            "for the deterministic stub kernel"
-        )
-
     import numpy as np
+
+    if not fake:
+
+        def real_op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                feats, checks, lens = [], [], []
+                for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                    b = bytes(payload) if payload is not None else b""
+                    checks.append(hashlib.md5(b).hexdigest())
+                    lens.append(len(b))
+                    if kind == "wav":
+                        sr, ns, amp = _parse_wav(b)
+                        feats.append(
+                            np.array(
+                                [sr / 48000.0, float(ns), amp / max(ns, 1) / 32768.0],
+                                dtype="float32",
+                            )
+                        )
+                    elif kind in ("ppm", "bmp"):
+                        parse = _parse_ppm if kind == "ppm" else _parse_bmp
+                        w, h, r, g, bl = parse(b)
+                        n_px = max(w * h, 1)
+                        feats.append(
+                            np.array(
+                                [
+                                    float(w),
+                                    float(h),
+                                    r / n_px / 255.0,
+                                    g / n_px / 255.0,
+                                    bl / n_px / 255.0,
+                                ],
+                                dtype="float32",
+                            )
+                        )
+                    else:
+                        raise ValueError(
+                            f"no stdlib codec for media kind {kind!r} — "
+                            "add a library decoder branch to this kernel"
+                        )
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].to_numpy(),
+                        "kind": pdf["kind"].to_numpy(),
+                        "n_bytes": np.array(lens, dtype="int64"),
+                        "checksum": checks,
+                        "feat": feats,
+                    }
+                )
+
+        return media.mapInPandas(real_op, schema=FEATURE_SCHEMA)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -184,6 +231,49 @@ def synth_ppm_hex_col(k: Column) -> Column:
     )
 
 
+def synth_bmp_hex_col(k: Column) -> Column:
+    """A VALID 24-bpp bottom-up Windows BMP (BITMAPINFOHEADER) payload as a
+    hex Column expression: width = 2 + k%3, height = 2, logical top-down
+    RGB pixel byte p = (k + p*7) % 256 — the SAME logical raster formula as
+    :func:`synth_ppm_hex_col`, but the file stores it bottom-up, BGR, with
+    rows zero-padded to 4-byte strides. Decoding back to the logical sums
+    therefore proves the un-swizzling (row flip + channel swap + padding
+    skip), not just header arithmetic."""
+    w = (F.lit(2) + F.pmod(k, 3)).cast("long")
+    h = F.lit(2).cast("long")
+    row_bytes = w * 3
+    pad = F.pmod(4 - F.pmod(row_bytes, 4), 4)
+    stride = row_bytes + pad
+    n_raster = h * stride
+
+    def file_byte(jj: Column) -> Column:
+        jj = jj.cast("long")
+        r_file = F.floor(jj / stride).cast("long")  # 0 = bottom row
+        j = F.pmod(jj, stride)
+        c = F.floor(j / 3).cast("long")
+        ch_logical = 2 - F.pmod(j, 3)  # file BGR -> logical RGB
+        p_logical = ((h - 1 - r_file) * w + c) * 3 + ch_logical
+        val = F.pmod(k + p_logical * 7, 256)
+        return _byte_hex(F.when(j >= row_bytes, F.lit(0)).otherwise(val))
+
+    raster = F.array_join(
+        F.transform(F.sequence(F.lit(0), (n_raster - 1).cast("int")), file_byte), ""
+    )
+    return F.concat(
+        F.lit(b"BM".hex()),
+        _le_hex(F.lit(54).cast("long") + n_raster, 4),  # file size
+        F.lit(struct.pack("<HHI", 0, 0, 54).hex()),  # reserved, data offset
+        F.lit(struct.pack("<I", 40).hex()),  # BITMAPINFOHEADER size
+        _le_hex(w, 4),
+        _le_hex(h, 4),  # positive height = bottom-up
+        F.lit(struct.pack("<HH", 1, 24).hex()),  # planes, bpp
+        F.lit(struct.pack("<I", 0).hex()),  # BI_RGB (uncompressed)
+        _le_hex(n_raster, 4),  # image size
+        F.lit(struct.pack("<iiII", 0, 0, 0, 0).hex()),  # ppm, palette counts
+        raster,
+    )
+
+
 def _parse_wav(b: bytes) -> tuple[int, int, int]:
     """(sample_rate, n_samples, sum_abs_amplitude) from a RIFF/WAVE PCM
     payload — a real header parse, raises on malformed bytes."""
@@ -227,9 +317,41 @@ def _parse_ppm(b: bytes) -> tuple[int, int, int, int, int]:
     return w, h, int(px[:, 0].sum()), int(px[:, 1].sum()), int(px[:, 2].sum())
 
 
+def _parse_bmp(b: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, sum_r, sum_g, sum_b) from a 24-bpp uncompressed
+    Windows BMP — a real header parse plus raster un-swizzling (bottom-up
+    row order when height > 0, BGR byte order, rows padded to 4-byte
+    strides). Raises on malformed or unsupported layouts."""
+    import numpy as np
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", b, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if hdr_size != 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP layout (need 24-bpp BI_RGB)")
+    n_rows = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        b, dtype=np.uint8, offset=data_offset, count=n_rows * stride
+    ).reshape(n_rows, stride)[:, : w * 3]
+    if h > 0:  # positive height = bottom-up storage
+        rows = rows[::-1]
+    rgb = rows.reshape(n_rows, w, 3)[..., ::-1].astype(np.int64)
+    return (
+        w,
+        n_rows,
+        int(rgb[..., 0].sum()),
+        int(rgb[..., 1].sum()),
+        int(rgb[..., 2].sum()),
+    )
+
+
 def decode_media_features(media: DataFrame) -> DataFrame:
-    """REAL decode over (media_id, kind ∈ {wav, ppm}, payload binary) via
-    Arrow-batched ``mapInPandas``. The per-item header parse is the
+    """REAL decode over (media_id, kind ∈ {wav, ppm, bmp}, payload binary)
+    via Arrow-batched ``mapInPandas``. The per-item header parse is the
     unavoidable decoder call (the analog of PIL/libav); the numeric frame
     work is vectorized numpy per payload. Integer-exact outputs only
     (sums, counts, rates) so the oracle compare is float-free."""
@@ -253,6 +375,9 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                     row.update(sample_rate=sr, n_samples=ns, sum_abs_amplitude=amp)
                 elif kind == "ppm":
                     w, h, r, g, bl = _parse_ppm(b)
+                    row.update(width=w, height=h, sum_r=r, sum_g=g, sum_b=bl)
+                elif kind == "bmp":
+                    w, h, r, g, bl = _parse_bmp(b)
                     row.update(width=w, height=h, sum_r=r, sum_g=g, sum_b=bl)
                 else:
                     raise ValueError(f"unknown media kind {kind!r}")

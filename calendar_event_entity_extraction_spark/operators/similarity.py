@@ -206,28 +206,42 @@ def kmeans_refine_centroids(
 ) -> list:
     """Deterministic distributed Lloyd refinement of IVF centroids: assign
     every corpus vector to its nearest centroid (narrow Arrow pass, centroid
-    matrix in the UDF closure), average per cell with ONE hash aggregate, and
-    replace each centroid by its cell mean (empty cells keep the seed).
-    No RNG, no iteration-order dependence — safe under retries.
-    """
+    matrix in the UDF closure), average per cell, and replace each centroid
+    by its cell mean (empty cells keep the seed). No RNG — safe under
+    retries.
+
+    Plan shape (round-3 review #4): posexplode to (cell, dim, value) rows +
+    ONE (cell, dim) hash aggregate, so the PLAN is O(1) in dimensionality.
+    The previous formulation built one sum-expression tree per dimension
+    inside a single aggregate — at 768-d embeddings that is 768 expression
+    trees, the same plan-explosion family as literal centroid cascades
+    (CLAUDE.md perf lesson #12). The explode is narrow (no shuffle added:
+    the aggregate shuffles (cell, dim) keys exactly as the per-dim
+    aggregate shuffled cell keys, with partial map-side combine), and the
+    aggregate output is n_centroids × dims rows — tiny. Exactness is
+    unchanged: the same float64 additions happen, only grouped by an
+    explicit dim key instead of a per-dim expression
+    (`test_kmeans_refine_matches_numpy_exact` pins the arithmetic on an
+    exactly-representable fixture where every summation order yields the
+    identical float64 result)."""
     dims = len(cents[0][1])
     for _ in range(iterations):
         cell = F.element_at(nearest_cells_udf(cents, 1)(F.col(vec_col)), 1)
-        sums = (
-            corpus.select(cell.alias("cell"), F.col(vec_col).alias("v"))
-            .groupBy("cell")
+        rows = (
+            corpus.select(
+                cell.alias("cell"), F.posexplode(F.col(vec_col)).alias("d", "x")
+            )
+            .groupBy("cell", "d")
             .agg(
                 F.count("*").alias("n"),
-                *[
-                    F.sum(F.element_at(F.col("v"), d + 1).cast("double")).alias(f"s{d}")
-                    for d in range(dims)
-                ],
+                F.sum(F.col("x").cast("double")).alias("s"),
             )
             .collect()
         )
-        means = {
-            r["cell"]: [r[f"s{d}"] / r["n"] for d in range(dims)] for r in sums
-        }
+        acc: dict = {}
+        for r in rows:
+            acc.setdefault(r["cell"], {})[r["d"]] = r["s"] / r["n"]
+        means = {c: [by_d[d] for d in range(dims)] for c, by_d in acc.items()}
         cents = [(ci, means.get(ci, cv)) for ci, cv in cents]
     return cents
 

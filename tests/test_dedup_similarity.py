@@ -265,3 +265,42 @@ def test_ivf_kmeans_refined_recall(vectors):
     # deterministic across re-runs (no RNG in the refinement)
     again = ivf_topk(df, q, k=3, n_centroids=8, n_probe=3, kmeans_iterations=1).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_kmeans_refine_matches_numpy_exact(spark):
+    """Pin the posexplode-aggregate Lloyd step's arithmetic against an
+    independent numpy spec. The fixture values are multiples of 0.25 (exact
+    in float32 AND float64) with cell sums far below 2^53, so every
+    summation order yields the IDENTICAL float64 sum — the comparison can
+    demand bitwise equality, proving the (cell, dim) aggregate computes the
+    same means as the per-dimension formulation it replaced."""
+    from calendar_event_entity_extraction_spark.operators.similarity import (
+        kmeans_refine_centroids,
+        nearest_cells_udf,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = (rng.randint(-40, 40, size=(300, 6)) * 0.25).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+    cents = [(i, [float(x) for x in vecs[i * 37]]) for i in range(4)]
+    got = kmeans_refine_centroids(df, cents, iterations=1)
+
+    # independent spec: same assignment kernel, then exact numpy means
+    assign = (
+        df.select(
+            "vec_id",
+            F.element_at(nearest_cells_udf(cents, 1)(F.col("embedding")), 1).alias("c"),
+        )
+        .toPandas()
+        .set_index("vec_id")["c"]
+    )
+    V = vecs.astype("float64")
+    for ci, cv in got:
+        members = [i for i in range(300) if assign[i] == ci]
+        if not members:
+            expected = list(np.asarray(cents[ci][1], dtype="float64"))
+        else:
+            expected = list(V[members].sum(axis=0) / len(members))
+        assert cv == expected, (ci, cv, expected)

@@ -43,9 +43,56 @@ def test_multimodal_feature_plumbing(spark):
     assert all(again[r["media_id"]] == r["checksum"] for r in rows)
 
 
-def test_multimodal_real_decoder_is_stubbed(spark):
-    with pytest.raises(NotImplementedError):
-        extract_features(synth_media(spark, 1), fake=False)
+def test_real_featurizer_decodes_stdlib_kinds(spark):
+    """fake=False runs the REAL stdlib decoders and featurizes the decoded
+    content — checked against per-kind expectations computed in pure
+    Python."""
+    from pyspark.sql import functions as F
+
+    from calendar_event_entity_extraction_spark.operators.multimodal import (
+        synth_bmp_hex_col,
+        synth_ppm_hex_col,
+        synth_wav_hex_col,
+    )
+
+    k = F.col("id")
+    media = spark.range(18).select(
+        k.alias("media_id"),
+        F.when(k % 3 == 0, F.lit("wav"))
+        .when(k % 3 == 1, F.lit("ppm"))
+        .otherwise(F.lit("bmp"))
+        .alias("kind"),
+        F.unhex(
+            F.when(k % 3 == 0, synth_wav_hex_col(k))
+            .when(k % 3 == 1, synth_ppm_hex_col(k))
+            .otherwise(synth_bmp_hex_col(k))
+        ).alias("payload"),
+        F.lit(None).cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int>"
+        ).alias("meta"),
+    )
+    rows = {r["media_id"]: r for r in extract_features(media, fake=False).collect()}
+    for i in range(18):
+        r = rows[i]
+        if i % 3 == 0:
+            sr, ns = 8000 + (i % 3) * 4000, 4 + i % 8
+            assert r["feat"][0] == pytest.approx(sr / 48000.0)
+            assert r["feat"][1] == ns
+        else:
+            w = 2 + i % 3
+            assert (r["feat"][0], r["feat"][1]) == (w, 2)
+            for ch in range(3):
+                expected = (
+                    sum((i + (3 * p + ch) * 7) % 256 for p in range(w * 2))
+                    / (w * 2)
+                    / 255.0
+                )
+                assert r["feat"][2 + ch] == pytest.approx(expected), (i, ch)
+
+
+def test_real_featurizer_rejects_unknown_kind(spark):
+    with pytest.raises(Exception, match="no stdlib codec"):
+        extract_features(synth_media(spark, 3), fake=False).collect()
 
 
 def _py_wav(k: int) -> bytes:
@@ -69,12 +116,36 @@ def _py_ppm(k: int) -> bytes:
     return b"P6\n" + str(w).encode() + b" 2\n255\n" + px
 
 
+def _py_bmp(k: int) -> bytes:
+    import struct
+
+    w, h = 2 + k % 3, 2
+    stride = (w * 3 + 3) // 4 * 4
+    raster = b""
+    for r_file in range(h):  # file rows bottom-up
+        lr = h - 1 - r_file
+        row = bytes(
+            (k + ((lr * w + c) * 3 + (2 - j)) * 7) % 256  # B,G,R per pixel
+            for c in range(w)
+            for j in range(3)
+        )
+        raster += row + b"\x00" * (stride - w * 3)
+    return (
+        b"BM" + struct.pack("<I", 54 + h * stride)
+        + struct.pack("<HHI", 0, 0, 54) + struct.pack("<I", 40)
+        + struct.pack("<ii", w, h) + struct.pack("<HH", 1, 24)
+        + struct.pack("<I", 0) + struct.pack("<I", h * stride)
+        + struct.pack("<iiII", 0, 0, 0, 0)
+    ) + raster
+
+
 def test_synth_payloads_match_struct_pack(spark):
     """The Column-expression payload builders must emit byte-identical
-    WAV/PPM files to a pure-Python struct.pack reference."""
+    WAV/PPM/BMP files to a pure-Python struct.pack reference."""
     from pyspark.sql import functions as F
 
     from calendar_event_entity_extraction_spark.operators.multimodal import (
+        synth_bmp_hex_col,
         synth_ppm_hex_col,
         synth_wav_hex_col,
     )
@@ -83,10 +154,12 @@ def test_synth_payloads_match_struct_pack(spark):
         F.col("id").alias("k"),
         F.unhex(synth_wav_hex_col(F.col("id"))).alias("wav"),
         F.unhex(synth_ppm_hex_col(F.col("id"))).alias("ppm"),
+        F.unhex(synth_bmp_hex_col(F.col("id"))).alias("bmp"),
     )
     for r in df.collect():
         assert bytes(r["wav"]) == _py_wav(r["k"]), r["k"]
         assert bytes(r["ppm"]) == _py_ppm(r["k"]), r["k"]
+        assert bytes(r["bmp"]) == _py_bmp(r["k"]), r["k"]
 
 
 def test_real_decoders_roundtrip(spark):
