@@ -746,7 +746,15 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.pmod(F.col("doc_id"), 1000).cast("string"), 3, "0"),
         F.lit("-"),
         F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
-        F.lit(" now."),
+        # a SECOND phone with no country code and parenthesized area code —
+        # the common local rendering the round-3 pattern missed entirely
+        F.lit(" now. Or ("),
+        (F.pmod(F.col("doc_id"), 900) + 100).cast("string"),
+        F.lit(") "),
+        F.lpad(F.pmod(F.col("doc_id"), 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+        F.lit("."),
     )
     return _docs(spark, sf_dir).select(
         "doc_id",
@@ -762,15 +770,18 @@ WITH p AS (
               || '@example.com or +1-555-'
               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-              || ' now.' AS t
+              || ' now. Or (' || CAST(doc_id % 900 + 100 AS VARCHAR) || ') '
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || '.' AS t
   FROM documents
 )
 SELECT doc_id,
        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(t, '\\+?\\d{1,2}[-. ]\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '(?:\\+?\\d{1,2}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}')) AS BIGINT) AS n_phones,
        regexp_replace(
          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         '\\+?\\d{1,2}[-. ]\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g') AS scrubbed
+         '(?:\\+?\\d{1,2}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g') AS scrubbed
 FROM p
 """
 

@@ -250,7 +250,12 @@ def lang_id_col(text: Column, en_threshold: float = 0.1) -> Column:
 # DuckDB RE2 match identically — a training-corpus scrub must behave the
 # same in the engine and in any SQL-side audit
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+?\d{1,2}[-. ]\d{3}[-. ]\d{3}[-. ]\d{4}"
+# country code OPTIONAL and parenthesized area codes accepted: plain
+# '555-123-4567' and '(555) 123-4567' are the two most common US renderings
+# and an under-redacting scrub is a silent PII leak (round-3 advice; the
+# old pattern REQUIRED a 1-2 digit prefix). Still RE2-safe: non-capturing
+# group + optionals only, no backrefs/lookarounds.
+PHONE_RE = r"(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"
 
 
 def pii_counts(text: Column) -> list[Column]:

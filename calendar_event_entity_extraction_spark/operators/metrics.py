@@ -69,6 +69,20 @@ def metrics_dict(pred: DataFrame, gold: DataFrame) -> dict:
     return field_metrics(pred, gold).collect()[0].asDict()
 
 
+_ASCII_WS_STRIP = r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$"
+
+
+def _strip_ws(c: F.Column) -> F.Column:
+    """Python ``str.strip()`` analog for the canonical metric: removes the
+    full ASCII whitespace class from both ends (``F.trim`` strips ONLY the
+    space character — a '\\t'/'\\n'-padded field would be forgiven by the
+    reference but counted as a mismatch; round-3 advice). Documented
+    deviation, same policy as minhash_sigs_udf: Python strip() also removes
+    UNICODE whitespace (\\xa0, \\u2028, …), which this ASCII class does
+    not — the grammar never emits unicode padding."""
+    return F.regexp_replace(c, _ASCII_WS_STRIP, "")
+
+
 def canonical_eq(field: str) -> F.Column:
     """Per-field equality under the reference's ALTERNATIVE metric module
     (``src/metrics.py:9-17`` ``canonicalize``): strings compare after
@@ -79,7 +93,7 @@ def canonical_eq(field: str) -> F.Column:
     if field == "attendees":
         return p.eqNullSafe(g)
     return F.when(p.isNull() | g.isNull(), p.eqNullSafe(g)).otherwise(
-        F.lower(F.trim(p)) == F.lower(F.trim(g))
+        F.lower(_strip_ws(p)) == F.lower(_strip_ws(g))
     )
 
 

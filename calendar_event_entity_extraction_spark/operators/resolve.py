@@ -17,8 +17,9 @@ memory; the groupBy is a partial-aggregating MIN). Converges in
 O(log^2 n) rounds regardless of component diameter — unlike plain min-label
 propagation, whose round count is the graph DIAMETER (a 10^6-node chain of
 boilerplate near-dups would take 10^6 rounds; star rounds collapse it in
-~20). Each round `localCheckpoint`s to truncate lineage (on a cluster:
-`checkpoint` to durable storage for task-retry safety).
+~20). Each round truncates lineage — `localCheckpoint` by default, or
+durable `checkpoint` when a ``checkpoint_dir`` is given (cluster mode:
+survives executor loss and task retries).
 
 Determinism: no RNG; edge sets are canonicalized (min, max) + distinct, so
 every round is a pure function of the input edge set.
@@ -92,6 +93,7 @@ def connected_components(
     max_rounds: int = 50,
     return_rounds: bool = False,
     driver_threshold: int = 1_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, comp) labels; comp = the component's minimum node id.
 
@@ -101,15 +103,26 @@ def connected_components(
 
     TWO physical paths behind one semantics:
 
-    * edge count ≤ ``driver_threshold`` → ONE count job + one collect +
-      driver union-find. A curation near-dup pair list is usually tiny
-      relative to the corpus (pairs, not documents), and the star rounds'
-      per-round job overhead (checkpoint + convergence action × O(log²n)
-      rounds) dominates small graphs by 10-50×. 10⁶ edges ≈ tens of MB on
-      the driver — the same order as a broadcast entity pool.
+    * edge count ≤ ``driver_threshold`` → ONE count job + one Arrow
+      collect + driver union-find. A curation near-dup pair list is
+      usually tiny relative to the corpus (pairs, not documents), and the
+      star rounds' per-round job overhead (checkpoint + convergence action
+      × O(log²n) rounds) dominates small graphs by 10-50×. The collect is
+      ``toPandas`` (Arrow batches → two primitive arrays, ~16 bytes/edge ≈
+      16 MB at the 10⁶ threshold), NOT ``collect()`` whose per-Row objects
+      cost ~100+ bytes each (round-3 advice); the count probe reads the
+      already-checkpointed partitions, so it is a cheap scan, not a
+      recompute of the upstream lineage.
     * larger → alternating large-star/small-star rounds (the 100-TB path:
       edge-list-only shuffles, no driver materialization). Set
       ``driver_threshold=0`` to force it (tests do).
+
+    ``checkpoint_dir``: when set, per-round lineage truncation uses DURABLE
+    ``checkpoint`` into that directory (registered via
+    ``setCheckpointDir``) instead of ``localCheckpoint`` — on a real
+    cluster localCheckpoint pins blocks to executors and dies with them;
+    durable checkpoints survive executor loss and task retries. Leave None
+    for single-JVM runs where localCheckpoint is cheaper.
 
     Raises if ``max_rounds`` exhausts before the star fixpoint — returning
     non-converged labels would be a SILENTLY wrong clustering. Unreachable
@@ -117,16 +130,23 @@ def connected_components(
     graph), but the failure must be loud. ``return_rounds`` additionally
     returns the number of star rounds executed (0 on the driver path).
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
     # materialize the canonical edge set ONCE up front: the count probe,
     # the driver collect, and round 1 of the star path all read the
     # checkpoint instead of re-executing the (possibly expensive — e.g. a
     # full MinHash near-dup join) upstream lineage
-    canon = _canonical(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint()
+    canon = _ckpt(
+        _canonical(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    )
     if driver_threshold and canon.count() <= driver_threshold:
+        pdf = canon.toPandas()
         comp = _driver_union_find(
-            [(r["u"], r["v"]) for r in canon.collect()]
+            list(zip(pdf["u"].tolist(), pdf["v"].tolist()))
         )
         spark = edges.sparkSession
         out_t = canon.schema["u"].dataType.simpleString()
@@ -138,7 +158,7 @@ def connected_components(
     converged = False
     rounds = 0
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        nxt = _ckpt(_small_star(_large_star(cur)))
         rounds += 1
         # both sides are distinct canonical sets, so set equality <=> empty
         # symmetric difference — ONE action per round, not count + except

@@ -173,7 +173,12 @@ def nearest_cells_udf(cents: list, n: int):
     same left fold as ``vectors.dot_col``'s ``aggregate`` and DuckDB's
     ``list_cosine_similarity``, so cosines agree to the last ulp and the
     9-decimal quantization + index tie-break order identically (pinned by
-    the ``ann_ivf_topk`` oracle hash-match).
+    the ``ann_ivf_topk`` oracle hash-match). One tie caveat (round-3
+    advice): ``np.round`` rounds half-to-even while ``F.round``/DuckDB
+    ``round`` round half-away-from-zero — the quantizations differ ONLY
+    when a cosine lands on an exact half-ulp of the 9th decimal, which is
+    practically unreachable for float64 cosines of non-degenerate vectors
+    (and is oracle-pinned not to occur on the fixtures).
     """
     import numpy as np
 

@@ -70,6 +70,7 @@ def curate_full(
     budget: int = 256,
     shards: int = 8,
     bucket_cap: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """documents(doc_id, text, lang) → (doc_id, lang, split, shard,
     n_tokens, pack_id): the full curation DAG described in the module
@@ -80,6 +81,9 @@ def curate_full(
     At 100 TB pass a ``bucket_cap`` so a hot LSH bucket can't go quadratic
     (recall trade-off documented at ``dedup.capped_band_pairs``); the
     default None keeps exact all-pairs semantics for oracle-compared runs.
+    On a real cluster also pass ``checkpoint_dir`` so the connected-
+    components rounds truncate lineage into durable storage instead of
+    executor-pinned localCheckpoint blocks.
     """
     n_tok = token_count_col(F.col("text"))
     n_punct = punct_count_col(F.col("text"))
@@ -99,7 +103,9 @@ def curate_full(
         rows_per_band=rows_per_band,
         bucket_cap=bucket_cap,
     )
-    labels = connected_components(pairs, "id_a", "id_b")
+    labels = connected_components(
+        pairs, "id_a", "id_b", checkpoint_dir=checkpoint_dir
+    )
     dupes = labels.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias("doc_id")
     )

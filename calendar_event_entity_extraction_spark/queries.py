@@ -119,7 +119,10 @@ def q_eval_metrics_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a REAL mismatch under both metric semantics), action UPPERCASED on
     k%10==7 and time whitespace-padded on k%10==1 (raw-`==` mismatches
     that canonicalization must FORGIVE — the two semantics provably differ
-    on this fixture, which is what pins the canonical path)."""
+    on this fixture, which is what pins the canonical path). The padding
+    deliberately includes TAB and NEWLINE: Python str.strip() removes the
+    whole whitespace class, so a canonicalizer built on space-only F.trim
+    would fail this oracle (round-3 advice — metrics._strip_ws)."""
     from .operators.metrics import field_metrics_canonical_counts
 
     ev = canonical_events(spark, sf_dir)
@@ -141,7 +144,7 @@ def q_eval_metrics_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "time",
             F.when(
                 F.pmod(k, 10) == 1,
-                F.concat(F.lit("  "), F.col("time"), F.lit(" ")),
+                F.concat(F.lit("\t "), F.col("time"), F.lit(" \n")),
             ).otherwise(F.col("time")),
         )
     )

@@ -100,3 +100,25 @@ def test_cluster_representatives(spark):
         for r in cluster_representatives(labels).collect()
     }
     assert reps == {1: 3, 10: 2}
+
+
+def test_durable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to DURABLE checkpoints:
+    labels are unchanged on both physical paths, and the distributed star
+    path actually writes RDD checkpoint files into the directory."""
+    edges = [(0, 1), (1, 2), (5, 6)]
+    ck = str(tmp_path / "ck")
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for thresh in (0, 1_000_000):
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(
+                df, "src", "dst", driver_threshold=thresh, checkpoint_dir=ck
+            ).collect()
+        }
+        assert got == _union_find(edges), f"driver_threshold={thresh}"
+    import glob
+
+    assert glob.glob(f"{ck}/**/rdd-*", recursive=True), (
+        "no durable checkpoint files written"
+    )
