@@ -27,7 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALE_KEYS = os.environ.get("SPARK_GRAFT_SCALE_KEYS", "1500000")
 
 
-def run_at(cpus: int) -> dict:
+def run_at(cpus: int, flag: str = "--throughput-only") -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -35,7 +35,7 @@ def run_at(cpus: int) -> dict:
         SPARK_GRAFT_KEYS=SCALE_KEYS,
     )
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--throughput-only"],
+        [sys.executable, os.path.join(REPO, "bench.py"), flag],
         env=env,
         capture_output=True,
         text=True,
@@ -82,6 +82,48 @@ def main() -> None:
     )
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(md)
+
+    if os.environ.get("SPARK_GRAFT_SCALE_CURATION", "1") != "1":
+        return
+
+    # Second job: the shuffle-heavy curate_full composite (LSH band join +
+    # connected-components rounds + packing window) — narrow-codegen triple
+    # extraction scales almost embarrassingly; this is where exchanges get
+    # tested. Only the 2→8 real-core pair (32 is SMT/hypervisor-capped).
+    cur = {c: run_at(c, "--curation-only") for c in levels[:2]}
+    cthr = {c: cur[c]["extra"]["docs_per_sec"] for c in levels[:2]}
+    ceff = (cthr[four_n] / cthr[n]) / (four_n / n)
+    print(
+        json.dumps(
+            {
+                "curation_n_docs": cur[n]["extra"]["n_docs"],
+                **{
+                    f"curation_docs_per_sec_local{c}": cthr[c]
+                    for c in levels[:2]
+                },
+                f"curation_scaling_efficiency_{n}_to_{four_n}": round(ceff, 3),
+            },
+            indent=2,
+        )
+    )
+    crows = "\n".join(
+        f"| local[{c}] | {cur[c]['extra']['n_docs']} | {cthr[c]:,.0f} | "
+        f"{cur[c]['queries']['curation_full_scaled']} |"
+        for c in levels[:2]
+    )
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(
+            "\n## Measured scaling — curate_full composite (shuffle-heavy)\n\n"
+            "Same end-to-end curation job (quality gates → exact dedup → MinHash-LSH\n"
+            "band join → connected components → mixture sample → split → packing,\n"
+            "bucket_cap=64) on the same materialized token-prefix-replicated documents\n"
+            f"fixture ({cur[n]['extra']['n_docs']} docs), fresh JVM per run, untimed\n"
+            "full-volume JIT pass then best-of-2:\n\n"
+            "| parallelism | docs | throughput (docs/sec) | elapsed (s) |\n"
+            "|---|---|---|---|\n"
+            f"{crows}\n\n"
+            f"**Scaling efficiency local[{n}] → local[{four_n}] (N → 4N): {ceff:.3f}**\n"
+        )
 
 
 if __name__ == "__main__":
