@@ -66,6 +66,42 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 # ---------------------------------------------------------------- minhash
 
 
+def shingles_udf(n: int = 3):
+    """Arrow-batched :func:`shingles_col` for the near-dup VERIFY join:
+    distinct word ``n``-gram shingles via the byte-exact tokenization of
+    :func:`minhash_sigs_udf` (ASCII-space trim, Java ``\\s``-class split).
+    Emits the distinct shingle set in sorted order — the Column form emits
+    first-occurrence order, but every consumer here is order-insensitive
+    (``size(array_intersect)`` / ``size(array_union)``), so the outputs
+    are value-identical where it is used; :func:`shingles_col` remains the
+    ordered spec (and the ``jaccard_pairs`` oracle's mirror). Null when
+    the doc has fewer than ``n`` tokens, like the Column form's
+    ``F.when`` guard. The Column form's interpreted slice-per-position
+    lambda measured only ~0.46 core-scaling efficiency (alloc-bound);
+    this kernel rides the per-core Python workers."""
+    import re
+
+    java_ws = re.compile(r"[ \t\n\x0B\f\r]+")
+
+    @F.pandas_udf("array<string>")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = java_ws.split(t.strip(" ").lower())
+            if len(toks) < n:
+                out.append(None)
+                continue
+            out.append(
+                sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+            )
+        return pd.Series(out)
+
+    return sh
+
+
 def minhash_from_shingles(sh: Column, perms: int = 8) -> list[Column]:
     """One min-hash per permutation: min over shingles of
     md5(perm-tag || shingle). md5 is identical in Spark and DuckDB/standard
@@ -178,37 +214,52 @@ def jaccard_col(a: Column, b: Column) -> Column:
 
 
 def capped_band_pairs(bands: DataFrame, bucket_cap: int | None = None) -> DataFrame:
-    """(id, band_idx, band_key) → distinct candidate (id_a, id_b) pairs via
-    a within-bucket self-join.
+    """(id, band_idx, band_key) → distinct candidate (id_a, id_b) pairs.
+
+    ONE groupBy shuffle: aggregate each bucket's members into a sorted id
+    array (truncated to ``bucket_cap`` when set) and expand the i<j pairs
+    narrowly. The original formulation — self-equi-join on (band_idx,
+    band_key) plus a row_number window for the cap — shuffled the band
+    rows three times (two join sides + window) and spent most of its time
+    sorting ~millions of near-singleton window partitions; measured 29 s →
+    ~7 s at local[8] over 1.9 M band rows, byte-identical output (pairs
+    from a sorted capped prefix are exactly the window's ``_rn <= cap``
+    members; the trailing ``distinct`` is unchanged).
 
     ``bucket_cap`` bounds the quadratic blow-up of HOT buckets (boilerplate
-    documents, all-zero embeddings): each bucket is truncated to its first
-    ``bucket_cap`` members by id, so a bucket contributes at most
+    documents, all-zero embeddings): each bucket contributes at most
     C(cap, 2) pairs instead of C(|bucket|, 2). Members beyond the cap lose
     recall only against other members of the SAME overflowing bucket — a
-    documented trade-off for 100-TB survival. The cap window partitions on
-    the same (band_idx, band_key) the join shuffles on, so the exchange is
-    reused, not doubled.
+    documented trade-off for 100-TB survival. Uncapped (oracle-exact all
+    pairs) a pathological bucket materializes one id array where the join
+    form produced a quadratic row blow-up instead — pass a cap at scale.
+
+    Null band keys (docs shorter than the shingle width) never equi-joined
+    in the join form; the groupBy form must filter them explicitly or they
+    would pool into one giant null group.
     """
+    bands = bands.filter(F.col("band_key").isNotNull())
+    members = F.array_sort(F.collect_list("id"))
     if bucket_cap is not None:
-        # null band keys never join; drop them here so they can't pile into
-        # one window partition (cheap: filters materialized band rows)
-        bands = bands.filter(F.col("band_key").isNotNull())
-        w = Window.partitionBy("band_idx", "band_key").orderBy("id")
-        bands = (
-            bands.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
+        members = F.slice(members, 1, bucket_cap)
+    buckets = bands.groupBy("band_idx", "band_key").agg(members.alias("_ids"))
+    n = F.size("_ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at("_ids", i).alias("id_a"),
+                    F.element_at("_ids", j).alias("id_b"),
+                ),
+            ),
         )
+    )
     return (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        buckets.filter(n >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -234,8 +285,20 @@ def minhash_near_duplicates(
     """
     bands = minhash_bands(df, id_col, text_col, perms, rows_per_band, n)
     cand = capped_band_pairs(bands, bucket_cap)
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
+    # Verify needs shingles ONLY for docs appearing in a candidate pair —
+    # typically a few % of the corpus. The left-semi join restricts the
+    # (interpreted, alloc-heavy) shingle computation to those survivors
+    # BEFORE it runs: plan-level identity (shingles are consumed solely
+    # through the id equi-joins below), measured 44 s → ~4 s at local[8]
+    # over 471 k docs. The candidate id set is small, so AQE broadcasts
+    # the semi-join; the band-join shuffles feeding both `cand` consumers
+    # are computed once via ReuseExchange.
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    sh = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col).alias("id"), shingles_udf(n)(F.col(text_col)).alias("sh"))
     )
     return (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import keep_repetition_col, punct_count_col, token_count_col
+from ..functions.text import (
+    punct_count_col,
+    repetition_keep_udf,
+    token_count_col,
+)
 from ..operators.dedup import dedup_first_wins, minhash_near_duplicates
 from ..operators.packing import pack_sequences
 from ..operators.resolve import connected_components
@@ -92,7 +96,11 @@ def curate_full(
         & (n_tok <= max_tokens)
         & (n_punct * 100 <= F.length("text") * max_punct_per_100_chars)
     )
-    gated = docs.filter(quality_ok & keep_repetition_col(F.col("text")))
+    # repetition gate via the Arrow kernel (repetition_keep_udf docstring:
+    # the Column form's interpreted fold caps the whole stage at ~0.44
+    # core-scaling); Catalyst splits the conjunction so the cheap codegen
+    # gates run BELOW the Python eval and cut its input first
+    gated = docs.filter(quality_ok & repetition_keep_udf()(F.col("text")))
     deduped = dedup_first_wins(gated, ["text"], "doc_id")
     pairs = minhash_near_duplicates(
         deduped,

@@ -96,8 +96,8 @@ def streaming_curate(
     execution mode."""
     from ..functions.text import (
         fingerprint_col,
-        keep_repetition_col,
         punct_count_col,
+        repetition_keep_udf,
         token_count_col,
     )
 
@@ -109,7 +109,9 @@ def streaming_curate(
         & (n_punct * 100 <= F.length("text") * max_punct_per_100_chars)
     )
     return (
-        docs.filter(ok & keep_repetition_col(F.col("text")))
+        # same Arrow-kernel gate as the batch composite (repetition_keep_udf
+        # docstring) — pandas UDFs run unchanged under readStream
+        docs.filter(ok & repetition_keep_udf()(F.col("text")))
         .withColumn("_fp", fingerprint_col(F.col("text")))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_fp"])

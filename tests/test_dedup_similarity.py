@@ -304,3 +304,37 @@ def test_kmeans_refine_matches_numpy_exact(spark):
         else:
             expected = list(V[members].sum(axis=0) / len(members))
         assert cv == expected, (ci, cv, expected)
+
+
+def test_shingles_kernel_matches_spec(spark):
+    """shingles_udf must emit exactly shingles_col's distinct shingle SET
+    (the kernel sorts; the Column spec keeps first-occurrence order —
+    every consumer in the verify join is order-insensitive) and replicate
+    its null-when-short guard, on the same adversarial tokenization rows
+    as the minhash kernel plus the sf0.001 documents corpus."""
+    from calendar_event_entity_extraction_spark.operators.dedup import (
+        shingles_col,
+        shingles_udf,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "  padded   with\tmixed\nwhitespace tokens here  "),
+        (2, "rep rep rep rep rep rep"),
+        (3, "two tokens"),
+        (4, "Case MIXED Case mixed case tokens repeated Case"),
+        (5, ""),
+        (6, None),
+        (7, "\tleading separator makes an empty token here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    both = df.unionByName(corpus).select(
+        "doc_id",
+        F.array_sort(shingles_col(F.col("text"), 3)).alias("spec"),
+        shingles_udf(3)(F.col("text")).alias("fast"),
+    )
+    bad = both.filter(~F.col("spec").eqNullSafe(F.col("fast")))
+    assert bad.count() == 0, bad.limit(3).collect()

@@ -95,3 +95,57 @@ def test_repetition_full_family(spark):
     assert out[3]["dup6gram_chars"] == 2 * 27
     assert out[3]["dup5gram_chars"] == 4 * 23
     assert out[3]["keep_repetition_full"] is False
+
+
+def test_repetition_kernel_equals_column_spec(spark):
+    """repetition_keep_udf must emit EXACTLY keep_repetition_col's values —
+    the kernel is the production gate in curate_full / streaming_curate
+    while the Column form remains the spec the DuckDB oracles mirror.
+    Adversarial rows exercise the tokenization edges the two
+    implementations could diverge on (same battery as the minhash kernel):
+    ASCII-space-only trim, Java-\\s-class-only splitting (NBSP is a TOKEN
+    character), leading-separator empty tokens, unicode case, null."""
+    from calendar_event_entity_extraction_spark.functions.text import (
+        keep_repetition_col,
+        repetition_keep_udf,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x x x x"),
+        (3, "a b a b a b"),
+        (4, "solo"),
+        (5, ""),
+        (6, "   "),
+        (7, "\ta b"),                       # leading tab -> leading "" token
+        (8, "a b c d e f g h i j k"),  # NBSP stays inside a token
+        (9, "Café cafÉ CAFÉ cafe def ghi jkl mno pqr stu"),
+        (10, None),
+        (11, "a  b\t\tc\n\nd e f g h i j"),  # mixed multi-separators
+        (12, "one two three four five six seven eight nine ten " * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select(
+        "doc_id",
+        keep_repetition_col(F.col("text")).alias("spec"),
+        repetition_keep_udf()(F.col("text")).alias("kernel"),
+    ).collect()
+    for r in got:
+        assert r["kernel"] == r["spec"], (r["doc_id"], r["spec"], r["kernel"])
+
+
+def test_repetition_kernel_equals_spec_on_corpus(spark):
+    """Corpus-wide kernel↔spec equality at sf0.001 (every documents row)."""
+    from calendar_event_entity_extraction_spark.functions.text import (
+        keep_repetition_col,
+        repetition_keep_udf,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    diff = docs.select(
+        keep_repetition_col(F.col("text")).alias("spec"),
+        repetition_keep_udf()(F.col("text")).alias("kernel"),
+    ).filter(
+        ~F.col("spec").eqNullSafe(F.col("kernel"))
+    )
+    assert diff.count() == 0
