@@ -109,12 +109,16 @@ def materialize_scaled_docs(spark, sf_dir: str, factor: int) -> str:
     from pyspark.sql import functions as F
 
     base = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/cees_bench/docs_scaled_{factor}_{base}"
+    path = f"/tmp/cees_bench/docs_scaled_v2_{factor}_{base}"  # v2: data-derived id stride
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # offset derived from the data, not a guessed constant: a fixed 1M
+        # stride would silently collide ids at sf1+ (≥1M docs) and corrupt
+        # the dedup/CC/pair semantics of the scaling benchmark
+        stride = docs.agg(F.max("doc_id")).first()[0] + 1
         copies = spark.range(factor).select(F.col("id").alias("copy"))
         scaled = docs.crossJoin(copies).select(
-            (F.col("doc_id") + F.col("copy") * F.lit(1_000_000)).alias("doc_id"),
+            (F.col("doc_id") + F.col("copy") * F.lit(stride)).alias("doc_id"),
             F.regexp_replace(
                 F.col("text"),
                 r"(\S+)",
@@ -207,10 +211,10 @@ def main() -> None:
         app_name="cees-bench",
         cores=CPUS,
         extra_conf={
+            # merged with session.DEFAULT_DRIVER_JAVA_OPTS (locale + IPv4)
             "spark.driver.extraJavaOptions": (
                 f"-XX:ParallelGCThreads={max(n, 1)} "
-                f"-XX:CICompilerCount={max(2, min(4, n))} "
-                "-Djava.net.preferIPv4Stack=true"
+                f"-XX:CICompilerCount={max(2, min(4, n))}"
             )
         },
     )
@@ -221,7 +225,8 @@ def main() -> None:
         cur = time_curation_throughput(spark, docs_path)
         queries["curation_full_scaled"] = round(cur["seconds"], 3)
         result = {
-            "metric": "curate_full docs/sec (shuffle-heavy composite)",
+            # value/unit are ELAPSED SECONDS (docs/sec is extra.docs_per_sec)
+            "metric": "curate_full elapsed sec (shuffle-heavy composite)",
             "value": round(cur["seconds"], 3),
             "unit": "sec",
             "queries": queries,

@@ -108,6 +108,15 @@ def repetition_keep_udf():
     onto the spec's ``"a b"`` concat strings because tokens cannot contain
     spaces. Null text → null, which the downstream filter drops, exactly
     like the null-propagating Column form.
+
+    Locale caveat (round-4 advice, applies equally to
+    ``dedup.minhash_sigs_udf``/``shingles_udf``): ``str.lower()`` matches
+    Spark's ``lower()`` only when the JVM is not in a locale with special
+    casing (Turkish/Azeri map I→ı via Java ``toLowerCase``). The session
+    factory pins ``-Duser.language=en`` (``session.DEFAULT_DRIVER_JAVA_OPTS``)
+    so engine-managed sessions are safe by construction; under a foreign
+    plain session, exotic code points outside the tested corpora could
+    diverge between the kernel and the Column spec.
     """
     import re
     from collections import Counter

@@ -110,7 +110,17 @@ def field_metrics_canonical_counts(pred: DataFrame, gold: DataFrame) -> DataFram
       fraction (``per_field_f1`` sums per-field 0/1 scores over 8 fields);
     * ``exact_match_canon_num``: all-8-canonical-fields-equal rows.
     """
-    j = join_pred_gold(pred, gold)
+    return field_metrics_canonical_counts_paired(join_pred_gold(pred, gold))
+
+
+def field_metrics_canonical_counts_paired(j: DataFrame) -> DataFrame:
+    """Aggregation body of :func:`field_metrics_canonical_counts` over an
+    already-paired DataFrame carrying ``p_<field>`` / ``g_<field>`` columns.
+    When pred is a deterministic perturbation of gold (same rows, unique
+    ``(conv_id, turn_idx)`` key — one event per transcript turn by
+    construction, ``extract.py:444``), the full-outer self-join is identity
+    pairing, so deriving both column families in ONE projection of ONE
+    extraction lineage yields byte-identical counts with half the work."""
     eqs = {f: canonical_eq(f) for f in FIELDS}
     all_eq = None
     for eq in eqs.values():
@@ -137,7 +147,14 @@ def field_metrics_counts(pred: DataFrame, gold: DataFrame) -> DataFrame:
     denominators as BIGINT, never float ratios (a last-ulp divergence in a
     rounded average would flip a cross-engine hash compare). Consumers derive
     exact_match = exact_match_num / n_events etc. themselves."""
-    j = join_pred_gold(pred, gold)
+    return field_metrics_counts_paired(join_pred_gold(pred, gold))
+
+
+def field_metrics_counts_paired(j: DataFrame) -> DataFrame:
+    """Aggregation body of :func:`field_metrics_counts` over an
+    already-paired ``p_<field>`` / ``g_<field>`` DataFrame (see
+    :func:`field_metrics_canonical_counts_paired` for when identity pairing
+    replaces the join)."""
     eqs = {f: F.col(f"p_{f}").eqNullSafe(F.col(f"g_{f}")) for f in FIELDS}
     all_eq = None
     for eq in eqs.values():

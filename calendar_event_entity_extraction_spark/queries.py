@@ -98,18 +98,29 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     clobbered on keys k%10==3, gold = unperturbed extraction. All compared
     outputs are exact BIGINT numerator/denominator pairs (never floats).
 
-    No ``.cache()``: pred and gold are two projections of the same
-    deterministic lineage — re-executing the narrow extract twice is cheaper
-    at scale than holding the full event set in executor memory."""
-    from .operators.metrics import field_metrics_counts
+    Single-pass: pred is a deterministic perturbation of gold with the same
+    unique ``(conv_id, turn_idx)`` key (one event per turn by construction),
+    so the reference's positional ``zip(predictions, targets)`` — a
+    full-outer self-join in Spark — is identity pairing. Both column
+    families are derived in ONE projection of ONE extraction lineage; the
+    plan has exactly one transcript scan and zero joins (pinned by
+    ``tests/test_driver_contract.py``), halving the dominant extract cost
+    at scale vs the former two-lineage join with identical BIGINT counts."""
+    from .operators.metrics import FIELDS, field_metrics_counts_paired
 
     ev = canonical_events(spark, sf_dir)
     k = F.substring("conv_id", 6, 20).cast("long")
-    pred = ev.withColumn(
-        "location",
-        F.when(F.pmod(k, 10) == 3, F.lit("PERTURBED")).otherwise(F.col("location")),
+    p_loc = F.when(F.pmod(k, 10) == 3, F.lit("PERTURBED")).otherwise(
+        F.col("location")
     )
-    return field_metrics_counts(pred, ev)
+    paired = ev.select(
+        *[F.col(f).alias(f"g_{f}") for f in FIELDS],
+        *[
+            (p_loc if f == "location" else F.col(f)).alias(f"p_{f}")
+            for f in FIELDS
+        ],
+    )
+    return field_metrics_counts_paired(paired)
 
 
 def q_eval_metrics_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,33 +133,35 @@ def q_eval_metrics_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     on this fixture, which is what pins the canonical path). The padding
     deliberately includes TAB and NEWLINE: Python str.strip() removes the
     whole whitespace class, so a canonicalizer built on space-only F.trim
-    would fail this oracle (round-3 advice — metrics._strip_ws)."""
-    from .operators.metrics import field_metrics_canonical_counts
+    would fail this oracle (round-3 advice — metrics._strip_ws).
+
+    Single-pass like :func:`q_eval_metrics`: pred/gold derived in ONE
+    projection of ONE extraction lineage (identity pairing — unique
+    per-turn key), one transcript scan, zero joins."""
+    from .operators.metrics import (
+        FIELDS,
+        field_metrics_canonical_counts_paired,
+    )
 
     ev = canonical_events(spark, sf_dir)
     k = F.substring("conv_id", 6, 20).cast("long")
-    pred = (
-        ev.withColumn(
-            "location",
-            F.when(F.pmod(k, 10) == 3, F.lit("PERTURBED")).otherwise(
-                F.col("location")
-            ),
-        )
-        .withColumn(
-            "action",
-            F.when(F.pmod(k, 10) == 7, F.upper(F.col("action"))).otherwise(
-                F.col("action")
-            ),
-        )
-        .withColumn(
-            "time",
-            F.when(
-                F.pmod(k, 10) == 1,
-                F.concat(F.lit("\t "), F.col("time"), F.lit(" \n")),
-            ).otherwise(F.col("time")),
-        )
+    perturb = {
+        "location": F.when(F.pmod(k, 10) == 3, F.lit("PERTURBED")).otherwise(
+            F.col("location")
+        ),
+        "action": F.when(F.pmod(k, 10) == 7, F.upper(F.col("action"))).otherwise(
+            F.col("action")
+        ),
+        "time": F.when(
+            F.pmod(k, 10) == 1,
+            F.concat(F.lit("\t "), F.col("time"), F.lit(" \n")),
+        ).otherwise(F.col("time")),
+    }
+    paired = ev.select(
+        *[F.col(f).alias(f"g_{f}") for f in FIELDS],
+        *[perturb.get(f, F.col(f)).alias(f"p_{f}") for f in FIELDS],
     )
-    return field_metrics_canonical_counts(pred, ev)
+    return field_metrics_canonical_counts_paired(paired)
 
 
 # augmentation swap pools — deliberately disjoint from the grammar's NAMES /

@@ -99,3 +99,18 @@ def test_extra_pairs_still_hash_match(spark, name):
     sp = sp[cols].sort_values(cols).reset_index(drop=True).astype(str)
     dk = dk[cols].sort_values(cols).reset_index(drop=True).astype(str)
     assert len(sp) == len(dk) and sp.equals(dk)
+
+
+@pytest.mark.parametrize("qname", ["q_eval_metrics", "q_eval_metrics_canonical"])
+def test_eval_metrics_is_single_pass(spark, qname):
+    """Round-4 verdict #4: the eval-metric queries must derive pred and gold
+    in ONE projection of ONE extraction lineage — exactly one transcript
+    scan, zero joins in the physical plan (the former two-lineage
+    formulation executed the extraction subtree twice)."""
+    import calendar_event_entity_extraction_spark.queries as Q
+
+    df = getattr(Q, qname)(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, f"{qname}: {n_scans} parquet scans (want 1)\n{plan}"
+    assert "Join" not in plan, f"{qname}: plan contains a join\n{plan}"
