@@ -237,12 +237,46 @@ def capped_band_pairs(bands: DataFrame, bucket_cap: int | None = None) -> DataFr
     Null band keys (docs shorter than the shingle width) never equi-joined
     in the join form; the groupBy form must filter them explicitly or they
     would pool into one giant null group.
+
+    Memory bound (round-4 advice): with ``bucket_cap`` set, the cap is a
+    SALTED TWO-PHASE aggregation — phase 1 groups by (band_idx, band_key,
+    pmod(xxhash64(id), S)) and keeps each salt group's sorted ``cap``-prefix
+    (buffer ≤ |bucket|/S, output ≤ cap ids); phase 2 merges the ≤ S
+    pre-capped arrays per bucket (buffer HARD-bounded by S·cap ids) and
+    takes the global prefix. Distributed-top-k correctness: the bucket's
+    ``cap`` smallest ids each sit inside their own salt group's ``cap``
+    smallest, so the merged prefix is byte-identical to the old single
+    ``slice(array_sort(collect_list(id)), 1, cap)`` (equality + plan pinned
+    by ``tests/test_dedup_similarity.py``). Phase 2's extra exchange ships
+    only pre-capped arrays — negligible next to phase 1. A ``row_number``
+    window pre-truncation was tried instead and REJECTED by measurement:
+    its sort re-ran per reuse of the candidate lineage (semi-join restrict +
+    verify join) and cost +50% on ``curation_full`` at sf0.1 — the round-3
+    near-singleton-window lesson again. UNCAPPED, the single in-memory
+    bucket array remains — pass a cap at scale (oracle-compared runs stay
+    uncapped for exact all-pairs semantics).
     """
     bands = bands.filter(F.col("band_key").isNotNull())
-    members = F.array_sort(F.collect_list("id"))
     if bucket_cap is not None:
-        members = F.slice(members, 1, bucket_cap)
-    buckets = bands.groupBy("band_idx", "band_key").agg(members.alias("_ids"))
+        salt_fanout = 64
+        part = bands.groupBy(
+            "band_idx",
+            "band_key",
+            F.pmod(F.xxhash64("id"), F.lit(salt_fanout)).alias("_salt"),
+        ).agg(
+            F.slice(F.array_sort(F.collect_list("id")), 1, bucket_cap).alias(
+                "_pids"
+            )
+        )
+        buckets = part.groupBy("band_idx", "band_key").agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("_pids"))), 1, bucket_cap
+            ).alias("_ids")
+        )
+    else:
+        buckets = bands.groupBy("band_idx", "band_key").agg(
+            F.array_sort(F.collect_list("id")).alias("_ids")
+        )
     n = F.size("_ids")
     pair_arr = F.flatten(
         F.transform(

@@ -338,3 +338,62 @@ def test_shingles_kernel_matches_spec(spark):
     )
     bad = both.filter(~F.col("spec").eqNullSafe(F.col("fast")))
     assert bad.count() == 0, bad.limit(3).collect()
+
+
+def test_capped_band_pairs_one_exchange_and_prefix_equivalence(spark):
+    """Round-4 advice: the capped path must never buffer a full hot bucket
+    in one aggregation buffer. The salted two-phase form caps per
+    (key, salt) group first (buffer ≤ |bucket|/64) then merges pre-capped
+    arrays (buffer ≤ 64·cap), with NO window (a row_number pre-truncation
+    measured +50% on curation_full — sort re-ran per candidate-lineage
+    reuse) and must emit exactly the pairs of the old post-agg
+    ``slice(array_sort(collect_list), 1, cap)`` prefix."""
+    from calendar_event_entity_extraction_spark.operators.dedup import (
+        capped_band_pairs,
+        minhash_bands,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "hot boilerplate shared by everyone in this shard") for i in range(40)]
+        + [(100 + i, f"unique document number {i} with its own words {i * 7}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    bands = minhash_bands(docs, "doc_id", "text", perms=8, rows_per_band=2, n=3)
+    capped = capped_band_pairs(bands, bucket_cap=6)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    # Exchanges: phase-1 salted agg, phase-2 pre-capped merge, trailing
+    # distinct — and no WindowExec anywhere
+    assert plan.count("Exchange") == 3, plan
+    assert "Window" not in plan, plan
+
+    # prefix equivalence vs the post-agg slice formulation
+    buckets = (
+        bands.filter(F.col("band_key").isNotNull())
+        .groupBy("band_idx", "band_key")
+        .agg(F.slice(F.array_sort(F.collect_list("id")), 1, 6).alias("_ids"))
+    )
+    n = F.size("_ids")
+    old = (
+        buckets.filter(n >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), n - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, n),
+                            lambda j: F.struct(
+                                F.element_at("_ids", i).alias("id_a"),
+                                F.element_at("_ids", j).alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    got = sorted(map(tuple, capped.collect()))
+    want = sorted(map(tuple, old.collect()))
+    assert got == want and len(got) > 0
