@@ -76,10 +76,12 @@ def extract_features(
     PCM, binary PPM, 24-bpp BMP — the same parsers `decode_media_features`
     uses) and featurizes the decoded content: images → [width, height,
     mean_r, mean_g, mean_b]/255-scaled, audio → [sample_rate/48000,
-    n_samples, mean |amplitude|/32768]. A payload whose ``kind`` has no
-    stdlib codec (jpeg/mp3/video — the libs don't ship here) raises a
-    ValueError naming the kind; plugging a library decoder in means adding
-    one `elif` to this kernel.
+    n_samples, mean |amplitude|/32768], jpeg → [width, height, channels]
+    (dimension parse via the SOF marker scan; the entropy-coded raster
+    needs a DCT/Huffman lib that doesn't ship here). A payload whose
+    ``kind`` has no stdlib codec (mp3/video) raises a ValueError naming the
+    kind; plugging a library decoder in means adding one `elif` to this
+    kernel.
     """
     import numpy as np
 
@@ -115,6 +117,11 @@ def extract_features(
                                 ],
                                 dtype="float32",
                             )
+                        )
+                    elif kind == "jpeg":
+                        w, h, ch = _parse_jfif(b)
+                        feats.append(
+                            np.array([float(w), float(h), float(ch)], dtype="float32")
                         )
                     else:
                         raise ValueError(
@@ -164,7 +171,7 @@ def extract_features(
 DECODE_SCHEMA = (
     "media_id long, kind string, sample_rate long, n_samples long, "
     "sum_abs_amplitude long, width long, height long, "
-    "sum_r long, sum_g long, sum_b long"
+    "sum_r long, sum_g long, sum_b long, channels long"
 )
 
 
@@ -178,6 +185,16 @@ def _le_hex(v: Column, n_bytes: int) -> Column:
         *[
             _byte_hex(F.shiftright(v.cast("long"), 8 * i).bitwiseAND(F.lit(255)))
             for i in range(n_bytes)
+        ]
+    )
+
+
+def _be_hex(v: Column, n_bytes: int) -> Column:
+    """Big-endian hex (JFIF segment lengths / SOF dimensions are BE)."""
+    return F.concat(
+        *[
+            _byte_hex(F.shiftright(v.cast("long"), 8 * i).bitwiseAND(F.lit(255)))
+            for i in range(n_bytes - 1, -1, -1)
         ]
     )
 
@@ -274,6 +291,75 @@ def synth_bmp_hex_col(k: Column) -> Column:
     )
 
 
+def synth_jfif_hex_col(k: Column) -> Column:
+    """Valid baseline-JFIF byte stream as a hex Column, parametrized by the
+    key: SOI, the standard APP0/JFIF segment, a VARIABLE-LENGTH COM segment
+    (3 + k%4 content bytes — forces the parser to hop segments by their BE
+    length fields, not by fixed offsets), then an SOF0 frame header carrying
+    (height, width, channels) — grayscale 1-component when k%3==0, else
+    3-component YCbCr — and a stub SOS + entropy bytes + EOI. The entropy
+    data is not decodable without a DCT/Huffman library (none ships here);
+    the DIMENSION parse is the real, fully-specified part and is what
+    ``_parse_jfif`` extracts, like PIL's lazy ``Image.open().size``."""
+    w = (F.lit(16) + F.pmod(k, 7) * 8).cast("long")
+    h = (F.lit(12) + F.pmod(k, 5) * 4).cast("long")
+    n_com = (F.lit(3) + F.pmod(k, 4)).cast("long")
+    com_payload = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (n_com - 1).cast("int")),
+            lambda i: _byte_hex(F.pmod(k + i.cast("long") * 11, 256)),
+        ),
+        "",
+    )
+    com = F.concat(F.lit("fffe"), _be_hex(n_com + 2, 2), com_payload)
+    sof_gray = F.concat(
+        F.lit("ffc0000b08"), _be_hex(h, 2), _be_hex(w, 2), F.lit("01011100")
+    )
+    sof_rgb = F.concat(
+        F.lit("ffc0001108"),
+        _be_hex(h, 2),
+        _be_hex(w, 2),
+        F.lit("03012200021101031101"),
+    )
+    app0 = "ffe000104a46494600010100004800480000"
+    sos_entropy_eoi = "ffda000c03010002110311003f00" + "00" * 4 + "ffd9"
+    return F.concat(
+        F.lit("ffd8"),
+        F.lit(app0),
+        com,
+        F.when(F.pmod(k, 3) == 0, sof_gray).otherwise(sof_rgb),
+        F.lit(sos_entropy_eoi),
+    )
+
+
+def _parse_jfif(b: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from a baseline JFIF/JPEG payload — a pure
+    ``bytes`` marker scan (stdlib only): walk segments by their big-endian
+    length fields until a start-of-frame marker (0xC0–0xCF excluding the
+    Huffman/arithmetic tables 0xC4/0xC8/0xCC), then unpack the frame header.
+    Raises on malformed streams."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"marker expected at offset {pos}")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone markers
+            pos += 2
+            continue
+        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            _precision, h, w, n_comp = struct.unpack_from(">BHHB", b, pos + 4)
+            return w, h, n_comp
+        if marker == 0xDA:  # SOS: entropy data follows, no SOF was seen
+            break
+        pos += 2 + seg_len
+    raise ValueError("no SOF marker found")
+
+
 def _parse_wav(b: bytes) -> tuple[int, int, int]:
     """(sample_rate, n_samples, sum_abs_amplitude) from a RIFF/WAVE PCM
     payload — a real header parse, raises on malformed bytes."""
@@ -358,7 +444,7 @@ def decode_media_features(media: DataFrame) -> DataFrame:
 
     cols = [
         "media_id", "kind", "sample_rate", "n_samples", "sum_abs_amplitude",
-        "width", "height", "sum_r", "sum_g", "sum_b",
+        "width", "height", "sum_r", "sum_g", "sum_b", "channels",
     ]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -372,13 +458,25 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 if kind == "wav":
                     sr, ns, amp = _parse_wav(b)
-                    row.update(sample_rate=sr, n_samples=ns, sum_abs_amplitude=amp)
+                    row.update(
+                        sample_rate=sr, n_samples=ns, sum_abs_amplitude=amp,
+                        channels=1,  # _parse_wav rejects non-mono layouts
+                    )
                 elif kind == "ppm":
                     w, h, r, g, bl = _parse_ppm(b)
-                    row.update(width=w, height=h, sum_r=r, sum_g=g, sum_b=bl)
+                    row.update(
+                        width=w, height=h, sum_r=r, sum_g=g, sum_b=bl, channels=3
+                    )
                 elif kind == "bmp":
                     w, h, r, g, bl = _parse_bmp(b)
-                    row.update(width=w, height=h, sum_r=r, sum_g=g, sum_b=bl)
+                    row.update(
+                        width=w, height=h, sum_r=r, sum_g=g, sum_b=bl, channels=3
+                    )
+                elif kind == "jpeg":
+                    w, h, ch = _parse_jfif(b)
+                    # entropy-coded raster needs a DCT/Huffman lib (absent
+                    # here) — dimensions/channels are the honest real parse
+                    row.update(width=w, height=h, channels=ch)
                 else:
                     raise ValueError(f"unknown media kind {kind!r}")
                 for c in cols:

@@ -55,3 +55,49 @@ def test_resume_recomputes_on_input_change(spark, out_dir):
     m3 = run_pipeline(spark, tr2, out_dir, resume=True)
     assert not any(man.get("resumed") for man in m3.values())
     assert m3["events"]["rows"] == _n_events(N + 50)
+
+
+def test_edge_table_partition_pruning(spark, out_dir):
+    """A ``pred``-filtered read of the pipeline's edge table must scan ONLY
+    that partition's files (round-4 verdict #5: the provable half of the
+    Iceberg-catalog story without catalog jars). Proven physically via the
+    scan's executed metrics — ``numPartitions`` = 1 of the ≥7 on disk and
+    ``numFiles`` = exactly the files under ``pred=attendee/`` — not just by
+    the PartitionFilters string."""
+    import glob
+    import os
+
+    edges_path = f"{out_dir}/edges"
+    q = spark.read.parquet(edges_path).filter(F.col("pred") == "attendee").select(
+        "event_id", "obj"
+    )
+    q.collect()
+    plan_str = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan_str and "attendee" in plan_str
+
+    def leaves(node):
+        n = node.children().size()
+        return (
+            [node]
+            if n == 0
+            else [x for i in range(n) for x in leaves(node.children().apply(i))]
+        )
+
+    scans = [
+        leaf
+        for leaf in leaves(q._jdf.queryExecution().executedPlan())
+        if "Scan" in leaf.nodeName()
+    ]
+    assert len(scans) == 1
+    metrics = {}
+    it = scans[0].metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        metrics[kv._1()] = kv._2().value()
+    n_partitions_on_disk = len(glob.glob(os.path.join(edges_path, "pred=*")))
+    attendee_files = glob.glob(
+        os.path.join(edges_path, "pred=attendee", "*.parquet")
+    )
+    assert n_partitions_on_disk >= 7
+    assert metrics["numPartitions"] == 1
+    assert metrics["numFiles"] == len(attendee_files) > 0

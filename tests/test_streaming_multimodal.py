@@ -218,3 +218,44 @@ def test_decoder_rejects_malformed(spark):
     )
     with pytest.raises(Exception, match="RIFF|WAVE|Python worker"):
         decode_media_features(bad).collect()
+
+
+def test_jfif_dimension_parse_roundtrip(spark):
+    """The JFIF marker-scan must recover (width, height, channels) from the
+    generated baseline-JPEG payloads — hopping the variable-length COM
+    segment by its BE length field, not by fixed offsets — and must reject
+    streams with no SOF marker."""
+    from pyspark.sql import functions as F
+
+    from calendar_event_entity_extraction_spark.operators.multimodal import (
+        _parse_jfif,
+        decode_media_features,
+        synth_jfif_hex_col,
+    )
+
+    k = F.col("id")
+    media = spark.range(40).select(
+        k.alias("media_id"),
+        F.lit("jpeg").alias("kind"),
+        F.unhex(synth_jfif_hex_col(k)).alias("payload"),
+    )
+    got = {r["media_id"]: r.asDict() for r in decode_media_features(media).collect()}
+    for i in range(40):
+        r = got[i]
+        assert r["width"] == 16 + (i % 7) * 8
+        assert r["height"] == 12 + (i % 5) * 4
+        assert r["channels"] == (1 if i % 3 == 0 else 3)
+        assert r["sum_r"] is None and r["sample_rate"] is None
+
+    # the parser itself on raw python bytes (not just via the kernel), and
+    # structural sanity of the stream: SOI + APP0-JFIF magic
+    payload = bytes(
+        media.filter(F.col("media_id") == 5).select("payload").first()[0]
+    )
+    assert payload[:2] == b"\xff\xd8" and payload[6:10] == b"JFIF"
+    assert _parse_jfif(payload) == (16 + (5 % 7) * 8, 12 + (5 % 5) * 4, 3)
+
+    with pytest.raises(ValueError, match="no SOF"):
+        _parse_jfif(b"\xff\xd8\xff\xe0\x00\x04ab\xff\xd9")
+    with pytest.raises(ValueError, match="SOI"):
+        _parse_jfif(b"PNG not jpeg")
