@@ -13,6 +13,7 @@ precedence train > eval > test — a textbook left anti-join.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -76,12 +77,58 @@ def drop_split_leakage(
     return train.unionByName(ev).unionByName(te).drop("_sig")
 
 
+def _bloom_build(hashes, m_bits: int, k: int):
+    """Driver-side Bloom bitset over int64 hash values (numpy uint8 array of
+    ``m_bits/8`` bytes). Double hashing g_i = h1 + i·h2 (mod m) from the two
+    halves of each 64-bit value — the standard Kirsch–Mitzenmacher scheme."""
+    import numpy as np
+
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+    if h.size == 0:
+        return bits
+    h1 = h % np.uint64(m_bits)
+    h2 = (h >> np.uint64(33)) | np.uint64(1)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(
+            bits,
+            (idx >> np.uint64(3)).astype(np.int64),
+            (np.uint64(1) << (idx & np.uint64(7))).astype(np.uint8),
+        )
+    return bits
+
+
+def bloom_might_contain_udf(bits, m_bits: int, k: int):
+    """Arrow-batched membership probe against a closure-carried Bloom bitset
+    (the broadcast analog — perf lesson #12): input is the JVM-computed
+    ``xxhash64`` long column, so the kernel is pure vectorized numpy bit
+    arithmetic, no per-row Python string hashing. False positives possible
+    (the exact join downstream decides), false negatives impossible."""
+    import numpy as np
+
+    @F.pandas_udf("boolean")
+    def probe(hs: pd.Series) -> pd.Series:
+        h = hs.to_numpy(dtype=np.int64).view(np.uint64)
+        h1 = h % np.uint64(m_bits)
+        h2 = (h >> np.uint64(33)) | np.uint64(1)
+        ok = np.ones(len(h), dtype=bool)
+        for i in range(k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+            ok &= ((byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1).astype(bool)
+        return pd.Series(ok)
+
+    return probe
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    bloom_gate: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination (the GPT-3-style training-set scrub): drop
     every corpus document sharing ANY word ``n``-gram with the benchmark
@@ -95,7 +142,22 @@ def decontaminate(
     At 100 TB the corpus n-gram explosion is the dominant cost: it is
     linear in corpus tokens and never shuffles the corpus itself — only
     (id, gram) pairs shuffle, and only when the benchmark side is too big
-    to broadcast."""
+    to broadcast.
+
+    ``bloom_gate`` (round-4 verdict #7): a Bloom filter built driver-side
+    over the benchmark's gram hashes (~2 bytes/gram at 16 bits/element,
+    k=6 ⇒ fpp ≈ 5e-4) pre-filters corpus grams with a narrow Arrow probe
+    BEFORE the exact semi-join — in the typical case where almost no corpus
+    gram is contaminated, the (id, gram) rows entering the semi-join and
+    the ``distinct`` shrink by ~the fpp factor, which is exactly the
+    exchange that dominates when the benchmark outgrows broadcast range.
+    The exact join still decides, so the output is bit-identical with the
+    gate on or off (pinned by ``tests/test_splits_entity_link.py``). The
+    driver-side build collects one long per DISTINCT benchmark gram
+    (Spark's distributed ``bloom_filter_agg`` expression is not registered
+    in this build); at 100 M benchmark grams that is a one-off 800 MB scan
+    collapsing to a 200 MB bitset — the same order as broadcasting the gram
+    set itself, but the probe then costs O(1) per corpus gram regardless."""
     from ..functions.text import _ngram_arr
 
     toks = lambda c: F.split(F.lower(F.trim(c)), r"\s+")  # noqa: E731
@@ -106,6 +168,13 @@ def decontaminate(
     bg = benchmark.select(
         F.explode(F.array_distinct(_ngram_arr(toks(F.col(text_col)), n))).alias("_g")
     ).distinct()
+    if bloom_gate:
+        import math
+
+        bh = bg.select(F.xxhash64("_g").alias("_h")).toPandas()["_h"].to_numpy()
+        m_bits = 1 << max(13, math.ceil(math.log2(max(len(bh), 1) * 16)))
+        probe = bloom_might_contain_udf(_bloom_build(bh, m_bits, 6), m_bits, 6)
+        cg = cg.filter(probe(F.xxhash64("_g")))
     contaminated = cg.join(bg, "_g", "left_semi").select("_id").distinct()
     return corpus.join(
         contaminated.withColumnRenamed("_id", id_col), id_col, "left_anti"

@@ -139,3 +139,46 @@ def test_quantize_int8_roundtrip_bound(spark):
         deq = np.array(out[i], dtype=np.float64) / 127.0 * maxab
         assert np.abs(deq - v).max() <= maxab / 127.0 + 1e-12
         assert max(map(abs, out[i])) <= 127
+
+
+def test_decontaminate_bloom_gate_identical_and_no_false_negatives(spark):
+    """The Bloom pre-gate is an optimization, never a semantics change:
+    gate-on output must equal gate-off output (the exact semi-join decides),
+    and the Bloom itself can never drop a truly-contaminated gram (no false
+    negatives by construction — every inserted hash probes its own bits)."""
+    import numpy as np
+
+    from calendar_event_entity_extraction_spark.operators.splits import (
+        _bloom_build,
+        bloom_might_contain_udf,
+        decontaminate,
+    )
+
+    docs = [
+        (i, f"document {i} shares token{i % 7} stream alpha beta gamma delta epsilon zeta eta theta")
+        for i in range(60)
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    benchmark = spark.createDataFrame(
+        [(0, docs[5][1]), (1, docs[12][1]), (2, "no overlap with anything here at all whatsoever truly none")],
+        "doc_id long, text string",
+    )
+    on = sorted(
+        r["doc_id"]
+        for r in decontaminate(corpus, benchmark, n=8, bloom_gate=True).collect()
+    )
+    off = sorted(
+        r["doc_id"]
+        for r in decontaminate(corpus, benchmark, n=8, bloom_gate=False).collect()
+    )
+    assert on == off and len(on) < 60
+
+    # unit: every inserted hash must probe positive
+    import pandas as pd
+
+    hashes = np.arange(-500, 500, dtype=np.int64) * 2654435761
+    m_bits = 1 << 14
+    probe = bloom_might_contain_udf(_bloom_build(hashes, m_bits, 6), m_bits, 6)
+    df = spark.createDataFrame([(int(h),) for h in hashes], "h long")
+    got = df.select(probe(F.col("h")).alias("m")).collect()
+    assert all(r["m"] for r in got)
