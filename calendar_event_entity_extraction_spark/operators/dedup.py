@@ -213,7 +213,11 @@ def jaccard_col(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
 
 
-def capped_band_pairs(bands: DataFrame, bucket_cap: int | None = None) -> DataFrame:
+def capped_band_pairs(
+    bands: DataFrame,
+    bucket_cap: int | None = None,
+    overflow_star: bool = False,
+) -> DataFrame:
     """(id, band_idx, band_key) → distinct candidate (id_a, id_b) pairs.
 
     ONE groupBy shuffle: aggregate each bucket's members into a sorted id
@@ -255,6 +259,19 @@ def capped_band_pairs(bands: DataFrame, bucket_cap: int | None = None) -> DataFr
     near-singleton-window lesson again. UNCAPPED, the single in-memory
     bucket array remains — pass a cap at scale (oracle-compared runs stay
     uncapped for exact all-pairs semantics).
+
+    ``overflow_star``: the cap alone leaves members beyond the prefix with
+    NO candidate pair — on a pathological hot bucket (20% of the corpus as
+    near-identical boilerplate) pair recall collapses to ~C(cap,2)/C(N,2)
+    and the overflow docs silently survive dedup (measured in
+    ``scripts/bench_skew.py``). With ``overflow_star=True`` every bucket
+    member additionally pairs with the bucket's MIN id — O(|bucket|) star
+    pairs instead of O(|bucket|²), giving connected-components full
+    connectivity over the bucket (every true-dup overflow member reaches
+    the representative through the hub; false candidates still die in the
+    exact-Jaccard verify). Costs one extra map-side-combining min aggregate
+    plus an equi-join of band rows against the per-bucket mins; off by
+    default — buckets below the cap already emit every pair.
     """
     bands = bands.filter(F.col("band_key").isNotNull())
     if bucket_cap is not None:
@@ -290,12 +307,22 @@ def capped_band_pairs(bands: DataFrame, bucket_cap: int | None = None) -> DataFr
             ),
         )
     )
-    return (
+    pairs = (
         buckets.filter(n >= 2)
         .select(F.explode(pair_arr).alias("p"))
         .select("p.id_a", "p.id_b")
-        .distinct()
     )
+    if bucket_cap is not None and overflow_star:
+        mins = bands.groupBy("band_idx", "band_key").agg(
+            F.min("id").alias("_min")
+        )
+        stars = (
+            bands.join(mins, ["band_idx", "band_key"])
+            .filter(F.col("id") != F.col("_min"))
+            .select(F.col("_min").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        pairs = pairs.unionByName(stars)
+    return pairs.distinct()
 
 
 def minhash_near_duplicates(
@@ -307,6 +334,7 @@ def minhash_near_duplicates(
     rows_per_band: int = 2,
     n: int = 3,
     bucket_cap: int | None = None,
+    overflow_star: bool = False,
 ) -> DataFrame:
     """Candidate pairs via LSH band equi-join, verified by exact shingle
     Jaccard ≥ threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
@@ -314,11 +342,14 @@ def minhash_near_duplicates(
     The band join shuffles on band_key only; the verify re-join fetches the
     two shingle sets per surviving candidate pair. At 100 TB pass a
     ``bucket_cap`` (see :func:`capped_band_pairs`) so a hot band bucket
-    (boilerplate shingles) can't go quadratic; the default None keeps exact
-    all-pairs semantics for oracle-compared runs.
+    (boilerplate shingles) can't go quadratic — add ``overflow_star=True``
+    when overflow members must still reach their cluster representative
+    through connected components (linear hub pairs, exact-verified like
+    any other candidate); the default None keeps exact all-pairs semantics
+    for oracle-compared runs.
     """
     bands = minhash_bands(df, id_col, text_col, perms, rows_per_band, n)
-    cand = capped_band_pairs(bands, bucket_cap)
+    cand = capped_band_pairs(bands, bucket_cap, overflow_star)
     # Verify needs shingles ONLY for docs appearing in a candidate pair —
     # typically a few % of the corpus. The left-semi join restricts the
     # (interpreted, alloc-heavy) shingle computation to those survivors

@@ -74,6 +74,7 @@ def curate_full(
     budget: int = 256,
     shards: int = 8,
     bucket_cap: int | None = None,
+    overflow_star: bool = False,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """documents(doc_id, text, lang) → (doc_id, lang, split, shard,
@@ -83,8 +84,11 @@ def curate_full(
     plain SQL (the ``curation_full`` oracle chains the per-stage oracles).
 
     At 100 TB pass a ``bucket_cap`` so a hot LSH bucket can't go quadratic
-    (recall trade-off documented at ``dedup.capped_band_pairs``); the
-    default None keeps exact all-pairs semantics for oracle-compared runs.
+    (recall trade-off documented at ``dedup.capped_band_pairs``), and add
+    ``overflow_star=True`` when boilerplate masses must still dedup fully
+    (linear hub pairs restore CC connectivity for members past the cap —
+    measured in ``scripts/bench_skew.py``); the default None keeps exact
+    all-pairs semantics for oracle-compared runs.
     On a real cluster also pass ``checkpoint_dir`` so the connected-
     components rounds truncate lineage into durable storage instead of
     executor-pinned localCheckpoint blocks.
@@ -110,6 +114,7 @@ def curate_full(
         perms=perms,
         rows_per_band=rows_per_band,
         bucket_cap=bucket_cap,
+        overflow_star=overflow_star,
     )
     labels = connected_components(
         pairs, "id_a", "id_b", checkpoint_dir=checkpoint_dir

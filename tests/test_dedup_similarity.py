@@ -397,3 +397,37 @@ def test_capped_band_pairs_one_exchange_and_prefix_equivalence(spark):
     got = sorted(map(tuple, capped.collect()))
     want = sorted(map(tuple, old.collect()))
     assert got == want and len(got) > 0
+
+
+def test_overflow_star_restores_hot_bucket_connectivity(spark):
+    """With a cap, overflow members of a hot bucket emit NO pair and
+    silently survive dedup; overflow_star adds one linear (min-id, member)
+    hub pair per member so every true duplicate stays reachable by
+    connected components — at O(|bucket|) instead of O(|bucket|^2) cost."""
+    from calendar_event_entity_extraction_spark.operators.dedup import (
+        capped_band_pairs,
+        minhash_bands,
+        minhash_near_duplicates,
+    )
+
+    hot = spark.createDataFrame(
+        [(i, "same boilerplate text repeated across the entire corpus shard") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bands = minhash_bands(hot, "doc_id", "text", perms=8, rows_per_band=2, n=3)
+    starred = capped_band_pairs(bands, bucket_cap=5, overflow_star=True)
+    rows = starred.collect()
+    members = {r["id_a"] for r in rows} | {r["id_b"] for r in rows}
+    assert members == set(range(50))  # every member reaches the hub
+    # C(5,2) prefix pairs + stars (0, 5..49); (0, 1..4) dedup into the prefix
+    assert len(rows) == 10 + 45
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+    # end-to-end: identical docs verify at jaccard 1.0, so ALL 50 collapse
+    verified = minhash_near_duplicates(
+        hot, "doc_id", "text", bucket_cap=5, overflow_star=True
+    )
+    ids_in_pairs = {r["id_a"] for r in verified.collect()} | {
+        r["id_b"] for r in verified.collect()
+    }
+    assert ids_in_pairs == set(range(50))
