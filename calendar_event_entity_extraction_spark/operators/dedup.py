@@ -217,6 +217,7 @@ def capped_band_pairs(
     bands: DataFrame,
     bucket_cap: int | None = None,
     overflow_star: bool = False,
+    salt_fanout: int = 0,
 ) -> DataFrame:
     """(id, band_idx, band_key) → distinct candidate (id_a, id_b) pairs.
 
@@ -242,23 +243,38 @@ def capped_band_pairs(
     in the join form; the groupBy form must filter them explicitly or they
     would pool into one giant null group.
 
-    Memory bound (round-4 advice): with ``bucket_cap`` set, the cap is a
+    Memory bound (round-4 advice): ``salt_fanout=S > 0`` makes the cap a
     SALTED TWO-PHASE aggregation — phase 1 groups by (band_idx, band_key,
     pmod(xxhash64(id), S)) and keeps each salt group's sorted ``cap``-prefix
     (buffer ≤ |bucket|/S, output ≤ cap ids); phase 2 merges the ≤ S
     pre-capped arrays per bucket (buffer HARD-bounded by S·cap ids) and
     takes the global prefix. Distributed-top-k correctness: the bucket's
     ``cap`` smallest ids each sit inside their own salt group's ``cap``
-    smallest, so the merged prefix is byte-identical to the old single
+    smallest, so the merged prefix is byte-identical to the single-phase
     ``slice(array_sort(collect_list(id)), 1, cap)`` (equality + plan pinned
-    by ``tests/test_dedup_similarity.py``). Phase 2's extra exchange ships
-    only pre-capped arrays — negligible next to phase 1. A ``row_number``
-    window pre-truncation was tried instead and REJECTED by measurement:
-    its sort re-ran per reuse of the candidate lineage (semi-join restrict +
-    verify join) and cost +50% on ``curation_full`` at sf0.1 — the round-3
-    near-singleton-window lesson again. UNCAPPED, the single in-memory
-    bucket array remains — pass a cap at scale (oracle-compared runs stay
-    uncapped for exact all-pairs semantics).
+    by ``tests/test_dedup_similarity.py``).
+
+    The salted form is NOT the default (round-5 measurement): for typical
+    bucket-size distributions (mostly singletons and pairs) phase 1
+    achieves no map-side reduction — nearly every (bucket, salt) group
+    holds one row — so the dominant aggregation effectively runs twice. A
+    same-JVM alternating A/B on the 150k-doc composite measured the salted
+    form ~10% slower at 8 cores (min 15.17 vs 13.69 s over 3 interleaved
+    reps, n_kept identical; inter-JVM runs on this host swing far more
+    than that — BENCH.md round-5 scaling notes). Single-phase ``slice``
+    (the default, ``salt_fanout=0``) relies on Spark's map-side partial
+    collect_list; its reduce-side merge buffer for ONE bucket is bounded
+    by |bucket| ids (8 bytes each — a 10M-member pathological bucket is an
+    80 MB buffer, survivable but worth avoiding). Turn the salted phase on
+    (S≈64) when a single bucket may hold ≳10M members — boilerplate-heavy
+    crawls with aggressive banding — and keep ``overflow_star`` on with it
+    (a bucket that hot is exactly where capped recall collapses). A
+    ``row_number`` window pre-truncation was also tried and REJECTED by
+    measurement: its sort re-ran per reuse of the candidate lineage
+    (semi-join restrict + verify join) and cost +50% on ``curation_full``
+    at sf0.1 — the round-3 near-singleton-window lesson again. UNCAPPED,
+    the single in-memory bucket array remains — pass a cap at scale
+    (oracle-compared runs stay uncapped for exact all-pairs semantics).
 
     ``overflow_star``: the cap alone leaves members beyond the prefix with
     NO candidate pair — on a pathological hot bucket (20% of the corpus as
@@ -274,8 +290,7 @@ def capped_band_pairs(
     default — buckets below the cap already emit every pair.
     """
     bands = bands.filter(F.col("band_key").isNotNull())
-    if bucket_cap is not None:
-        salt_fanout = 64
+    if bucket_cap is not None and salt_fanout:
         part = bands.groupBy(
             "band_idx",
             "band_key",
@@ -291,8 +306,11 @@ def capped_band_pairs(
             ).alias("_ids")
         )
     else:
+        members = F.array_sort(F.collect_list("id"))
+        if bucket_cap is not None:
+            members = F.slice(members, 1, bucket_cap)
         buckets = bands.groupBy("band_idx", "band_key").agg(
-            F.array_sort(F.collect_list("id")).alias("_ids")
+            members.alias("_ids")
         )
     n = F.size("_ids")
     pair_arr = F.flatten(
@@ -335,6 +353,7 @@ def minhash_near_duplicates(
     n: int = 3,
     bucket_cap: int | None = None,
     overflow_star: bool = False,
+    salt_fanout: int = 0,
 ) -> DataFrame:
     """Candidate pairs via LSH band equi-join, verified by exact shingle
     Jaccard ≥ threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
@@ -349,7 +368,7 @@ def minhash_near_duplicates(
     for oracle-compared runs.
     """
     bands = minhash_bands(df, id_col, text_col, perms, rows_per_band, n)
-    cand = capped_band_pairs(bands, bucket_cap, overflow_star)
+    cand = capped_band_pairs(bands, bucket_cap, overflow_star, salt_fanout)
     # Verify needs shingles ONLY for docs appearing in a candidate pair —
     # typically a few % of the corpus. The left-semi join restricts the
     # (interpreted, alloc-heavy) shingle computation to those survivors

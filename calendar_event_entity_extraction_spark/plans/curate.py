@@ -75,6 +75,7 @@ def curate_full(
     shards: int = 8,
     bucket_cap: int | None = None,
     overflow_star: bool = False,
+    salt_fanout: int = 0,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """documents(doc_id, text, lang) → (doc_id, lang, split, shard,
@@ -87,8 +88,11 @@ def curate_full(
     (recall trade-off documented at ``dedup.capped_band_pairs``), and add
     ``overflow_star=True`` when boilerplate masses must still dedup fully
     (linear hub pairs restore CC connectivity for members past the cap —
-    measured in ``scripts/bench_skew.py``); the default None keeps exact
-    all-pairs semantics for oracle-compared runs.
+    measured in ``scripts/bench_skew.py``); ``salt_fanout=64`` additionally
+    hard-bounds the cap's aggregation buffers when a single bucket may
+    hold ≳10M members (opt-in — costs one extra aggregation pass, trade
+    measured in BENCH.md round 5). The default None keeps exact all-pairs
+    semantics for oracle-compared runs.
     On a real cluster also pass ``checkpoint_dir`` so the connected-
     components rounds truncate lineage into durable storage instead of
     executor-pinned localCheckpoint blocks.
@@ -115,6 +119,7 @@ def curate_full(
         rows_per_band=rows_per_band,
         bucket_cap=bucket_cap,
         overflow_star=overflow_star,
+        salt_fanout=salt_fanout,
     )
     labels = connected_components(
         pairs, "id_a", "id_b", checkpoint_dir=checkpoint_dir
