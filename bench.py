@@ -319,11 +319,17 @@ def main() -> None:
                 best = dt if best is None or dt < best else best
             queries[name] = round(best, 3)
 
-        # full graph materialization (write-inclusive), resumed-from-clean
+        # full graph materialization (write-inclusive), resumed-from-clean.
+        # Same promotion policy as the query loop: this row was the only
+        # one timed cold-first and read 19-20 s where the post-promotion
+        # steady state is 9.5-11.7 s (solo 3-rep profile, round 5) — the
+        # untimed pass promotes the pipeline's unique codegen + write path.
         from calendar_event_entity_extraction_spark.plans.pipeline import run_pipeline
         import shutil
 
         out = "/tmp/cees_bench/pipeline_out"
+        shutil.rmtree(out, ignore_errors=True)
+        run_pipeline(spark, spark.read.parquet(tr_path), out, resume=False)
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         run_pipeline(spark, spark.read.parquet(tr_path), out, resume=False)
