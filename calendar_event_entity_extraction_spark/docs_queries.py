@@ -1084,22 +1084,28 @@ FROM documents
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode, oracle-checked: each doc becomes a VALID RIFF/WAVE
     PCM payload (even ids), binary-PPM image (ids ≡ 1 mod 4), 24-bpp BMP
-    (ids ≡ 3 mod 8) or baseline JFIF/JPEG (ids ≡ 7 mod 8), built as pure
-    Column hex expressions from the key; the Spark side then genuinely
-    PARSES those bytes back (struct header unpack + numpy frame math in an
-    Arrow kernel) while DuckDB derives the expected features from the same
-    key arithmetic — a hash match proves the decoder reads the byte layout
-    correctly end to end. BMP and PPM share the same LOGICAL raster formula
-    but BMP stores it bottom-up/BGR/stride-padded, so matching sums prove
-    the un-swizzling, not just header math. The JFIF payloads carry a
-    VARIABLE-LENGTH comment segment before the SOF frame header, so the
-    matching (width, height, channels) proves the marker-hopping scan. No
-    media libs involved: all four formats are stdlib-parseable (JPEG for
-    dimensions/channels; its entropy raster needs a lib that isn't here)."""
+    (ids ≡ 3 mod 8), baseline JFIF/JPEG (ids ≡ 7 mod 16) or MPEG-1
+    Layer III MP3 frame stream (ids ≡ 15 mod 16), built as pure Column hex
+    expressions from the key; the Spark side then genuinely PARSES those
+    bytes back (struct header unpack + numpy frame math in an Arrow
+    kernel) while DuckDB derives the expected features from the same key
+    arithmetic — a hash match proves the decoder reads the byte layout
+    correctly end to end. BMP and PPM share the same LOGICAL raster
+    formula but BMP stores it bottom-up/BGR/stride-padded, so matching
+    sums prove the un-swizzling, not just header math. The JFIF payloads
+    carry a VARIABLE-LENGTH comment segment before the SOF frame header,
+    so the matching (width, height, channels) proves the marker-hopping
+    scan; the MP3 streams vary the per-frame padding bit, so the matching
+    (sample_rate, decoded-sample count, channels, bitrate) proves the
+    parser hops frames by the computed ``144·bitrate/rate + pad`` size.
+    No media libs involved: all five formats are stdlib-parseable (JPEG
+    dimensions / MP3 headers; entropy rasters and granules need libs that
+    aren't here)."""
     from .operators.multimodal import (
         decode_media_features,
         synth_bmp_hex_col,
         synth_jfif_hex_col,
+        synth_mp3_hex_col,
         synth_ppm_hex_col,
         synth_wav_hex_col,
     )
@@ -1110,13 +1116,15 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 2 == 0, F.lit("wav"))
         .when(k % 4 == 1, F.lit("ppm"))
         .when(k % 8 == 3, F.lit("bmp"))
-        .otherwise(F.lit("jpeg"))
+        .when(k % 16 == 7, F.lit("jpeg"))
+        .otherwise(F.lit("mp3"))
         .alias("kind"),
         F.unhex(
             F.when(k % 2 == 0, synth_wav_hex_col(k))
             .when(k % 4 == 1, synth_ppm_hex_col(k))
             .when(k % 8 == 3, synth_bmp_hex_col(k))
-            .otherwise(synth_jfif_hex_col(k))
+            .when(k % 16 == 7, synth_jfif_hex_col(k))
+            .otherwise(synth_mp3_hex_col(k))
         ).alias("payload"),
     )
     return decode_media_features(media)
@@ -1136,28 +1144,39 @@ def _ppm_ch_sql(ch: int) -> str:
     )
 
 
+_MP3_BITRATES_SQL = "[32,40,48,56,64,80,96,112,128,160,192,224,256,320]"
+_MP3_RATES_SQL = "[44100,48000,32000]"
+
 O_MULTIMODAL_DECODE = f"""
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 2 = 0 THEN 'wav'
             WHEN doc_id % 4 = 1 THEN 'ppm'
             WHEN doc_id % 8 = 3 THEN 'bmp'
-            ELSE 'jpeg' END AS kind,
-       CASE WHEN doc_id % 2 = 0 THEN CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) END AS sample_rate,
-       CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 8 AS BIGINT) END AS n_samples,
+            WHEN doc_id % 16 = 7 THEN 'jpeg'
+            ELSE 'mp3' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(8000 + (doc_id % 3) * 4000 AS BIGINT)
+            WHEN doc_id % 16 = 15 THEN CAST(list_extract({_MP3_RATES_SQL}, CAST(1 + doc_id % 3 AS INT)) AS BIGINT)
+       END AS sample_rate,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(4 + doc_id % 8 AS BIGINT)
+            WHEN doc_id % 16 = 15 THEN CAST((2 + (doc_id // 16) % 4) * 1152 AS BIGINT)
+       END AS n_samples,
        CASE WHEN doc_id % 2 = 0 THEN CAST(list_sum(list_transform(
             range(0, CAST(4 + doc_id % 8 AS INT)), i -> {_WAV_SAMPLE_SQL})) AS BIGINT)
        END AS sum_abs_amplitude,
        CASE WHEN doc_id % 4 = 1 OR doc_id % 8 = 3 THEN CAST(2 + doc_id % 3 AS BIGINT)
-            WHEN doc_id % 8 = 7 THEN CAST(16 + (doc_id % 7) * 8 AS BIGINT) END AS width,
+            WHEN doc_id % 16 = 7 THEN CAST(16 + (doc_id % 7) * 8 AS BIGINT) END AS width,
        CASE WHEN doc_id % 4 = 1 OR doc_id % 8 = 3 THEN CAST(2 AS BIGINT)
-            WHEN doc_id % 8 = 7 THEN CAST(12 + (doc_id % 5) * 4 AS BIGINT) END AS height,
+            WHEN doc_id % 16 = 7 THEN CAST(12 + (doc_id % 5) * 4 AS BIGINT) END AS height,
        CASE WHEN doc_id % 4 = 1 OR doc_id % 8 = 3 THEN {_ppm_ch_sql(0)} END AS sum_r,
        CASE WHEN doc_id % 4 = 1 OR doc_id % 8 = 3 THEN {_ppm_ch_sql(1)} END AS sum_g,
        CASE WHEN doc_id % 4 = 1 OR doc_id % 8 = 3 THEN {_ppm_ch_sql(2)} END AS sum_b,
        CASE WHEN doc_id % 2 = 0 THEN CAST(1 AS BIGINT)
             WHEN doc_id % 4 = 1 OR doc_id % 8 = 3 THEN CAST(3 AS BIGINT)
+            WHEN doc_id % 16 = 15 THEN CAST(2 - (doc_id // 16) % 2 AS BIGINT)
             WHEN doc_id % 3 = 0 THEN CAST(1 AS BIGINT)
-            ELSE CAST(3 AS BIGINT) END AS channels
+            ELSE CAST(3 AS BIGINT) END AS channels,
+       CASE WHEN doc_id % 16 = 15 THEN CAST(list_extract({_MP3_BITRATES_SQL}, CAST(1 + doc_id % 14 AS INT)) AS BIGINT)
+       END AS bitrate_kbps
 FROM documents
 """
 

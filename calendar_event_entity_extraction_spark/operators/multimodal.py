@@ -7,18 +7,23 @@ Arrow-batched ``mapInPandas`` stages.
 Two decode layers:
 
 * :func:`decode_media_features` — REAL pure-stdlib codecs, no media libs
-  needed: a RIFF/WAVE PCM parser (``struct`` header unpack + numpy int16
-  frame math) and a binary-PPM (P6) parser. These actually parse the byte
-  layouts; a malformed payload raises. The matching
-  ``synth_wav_hex_col`` / ``synth_ppm_hex_col`` builders construct valid
-  payloads as pure Column expressions (hex → unhex), so both engines can
-  derive the expected features from the generating key — the
-  ``multimodal_decode`` oracle row pins decode correctness end to end.
+  needed, five formats: RIFF/WAVE PCM (``struct`` header unpack + numpy
+  int16 frame math), binary PPM (P6), 24-bpp BMP (bottom-up/BGR/stride
+  un-swizzling), baseline JFIF/JPEG (SOF marker scan → dimensions and
+  channels) and MPEG-1 Layer III MP3 (frame-header walk → rates, channel
+  mode, frame count/duration). These actually parse the byte layouts; a
+  malformed payload raises. The matching ``synth_*_hex_col`` builders
+  construct valid payloads as pure Column expressions (hex → unhex), so
+  both engines can derive the expected features from the generating key —
+  the ``multimodal_decode`` oracle row pins decode correctness end to end.
+  (JPEG's entropy raster and MP3's granules need DCT/Huffman/IMDCT libs
+  that don't ship here; headers/dimensions/durations are the honest real
+  parse, like PIL's lazy ``Image.open().size`` or a duration probe.)
 * :func:`extract_features` — the generic featurize plumbing for formats
-  whose codecs genuinely need external libs (JPEG, MP3, video): the
-  deterministic ``fake=True`` kernel exercises schema/batching/binary
-  round-trip (oracle row ``multimodal_features``); ``fake=False`` remains
-  the documented plug-in point and raises until a real codec is wired.
+  whose codecs genuinely need external libs (video): the deterministic
+  ``fake=True`` kernel exercises schema/batching/binary round-trip
+  (oracle row ``multimodal_features``); ``fake=False`` runs the five real
+  stdlib decoders and remains the documented plug-in point for the rest.
 """
 
 from __future__ import annotations
@@ -78,8 +83,10 @@ def extract_features(
     mean_r, mean_g, mean_b]/255-scaled, audio → [sample_rate/48000,
     n_samples, mean |amplitude|/32768], jpeg → [width, height, channels]
     (dimension parse via the SOF marker scan; the entropy-coded raster
-    needs a DCT/Huffman lib that doesn't ship here). A payload whose
-    ``kind`` has no stdlib codec (mp3/video) raises a ValueError naming the
+    needs a DCT/Huffman lib that doesn't ship here), mp3 →
+    [sample_rate/48000, decoded-sample count, channels + bitrate/1000]
+    (frame-header walk; the granules need Huffman/IMDCT). A payload whose
+    ``kind`` has no stdlib codec (video) raises a ValueError naming the
     kind; plugging a library decoder in means adding one `elif` to this
     kernel.
     """
@@ -122,6 +129,18 @@ def extract_features(
                         w, h, ch = _parse_jfif(b)
                         feats.append(
                             np.array([float(w), float(h), float(ch)], dtype="float32")
+                        )
+                    elif kind == "mp3":
+                        sr, nf, ch, br = _parse_mp3(b)
+                        feats.append(
+                            np.array(
+                                [
+                                    sr / 48000.0,
+                                    float(nf * MP3_SAMPLES_PER_FRAME),
+                                    float(ch) + br / 1000.0,
+                                ],
+                                dtype="float32",
+                            )
                         )
                     else:
                         raise ValueError(
@@ -171,8 +190,15 @@ def extract_features(
 DECODE_SCHEMA = (
     "media_id long, kind string, sample_rate long, n_samples long, "
     "sum_abs_amplitude long, width long, height long, "
-    "sum_r long, sum_g long, sum_b long, channels long"
+    "sum_r long, sum_g long, sum_b long, channels long, bitrate_kbps long"
 )
+
+# MPEG-1 Layer III header tables (ISO/IEC 11172-3): bitrate index 1..14 and
+# sample-rate index 0..2 — shared by the synthesizer, the parser, and the
+# DuckDB oracle (as SQL list literals)
+MP3_BITRATES = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+MP3_SAMPLE_RATES = [44100, 48000, 32000]
+MP3_SAMPLES_PER_FRAME = 1152
 
 
 def _byte_hex(b: Column) -> Column:
@@ -332,6 +358,86 @@ def synth_jfif_hex_col(k: Column) -> Column:
     )
 
 
+def synth_mp3_hex_col(k: Column) -> Column:
+    """A VALID MPEG-1 Layer III (MP3) CBR frame stream as a hex Column,
+    fully determined by the key: bitrate = MP3_BITRATES[k%14],
+    sample_rate = MP3_SAMPLE_RATES[k%3], channel mode mono/stereo and
+    frame count from k//16, and a PER-FRAME padding bit ((k+f)%2) — so the
+    parser must hop frames by the computed ``144·bitrate/sample_rate +
+    padding`` size, not a constant stride. Frame payload bytes are filler
+    (one repeated key-derived byte per frame): decoding Layer III audio
+    needs a Huffman/IMDCT lib that doesn't ship here — the header walk
+    (rates, channel mode, frame count → duration) is the real,
+    fully-specified part, like every tag scanner / duration probe."""
+    br = F.element_at(
+        F.array(*[F.lit(x) for x in MP3_BITRATES]),
+        (F.lit(1) + F.pmod(k, 14)).cast("int"),
+    ).cast("long")
+    sr = F.element_at(
+        F.array(*[F.lit(x) for x in MP3_SAMPLE_RATES]),
+        (F.lit(1) + F.pmod(k, 3)).cast("int"),
+    ).cast("long")
+    q = F.shiftright(k.cast("long"), 4)
+    mono = F.pmod(q, 2)  # 1 = mono (mode bits 11), 0 = stereo (00)
+    n_frames = (F.lit(2) + F.pmod(q, 4)).cast("int")
+
+    def frame(f: Column) -> Column:
+        f = f.cast("long")
+        pad = F.pmod(k + f, 2)
+        # frame size in bytes = floor(144 * bitrate_bps / sample_rate) + pad
+        size = F.floor(F.lit(144000) * br / sr).cast("long") + pad
+        byte2 = (F.lit(1) + F.pmod(k, 14)) * 16 + F.pmod(k, 3) * 4 + pad * 2
+        byte3 = mono * 3 * 64
+        filler = F.repeat(
+            _byte_hex(F.pmod(k * 7 + f * 13, 251)), (size - 4).cast("int")
+        )
+        return F.concat(F.lit("fffb"), _byte_hex(byte2), _byte_hex(byte3), filler)
+
+    return F.array_join(
+        F.transform(F.sequence(F.lit(0), n_frames - 1), frame), ""
+    )
+
+
+def _parse_mp3(b: bytes) -> tuple[int, int, int, int]:
+    """(sample_rate, n_frames, channels, bitrate_kbps) from an MPEG-1
+    Layer III CBR stream — a real 4-byte frame-header parse (sync word,
+    version/layer bits, bitrate & sample-rate table indices, padding bit,
+    channel mode) hopping frame to frame by the computed size. Raises on
+    malformed, truncated, VBR, or non-MPEG-1-Layer-III streams. Duration
+    follows as n_frames·1152/sample_rate; the compressed granules need a
+    Huffman/IMDCT lib (absent here) — header semantics are the honest
+    stdlib parse, like :func:`_parse_jfif` for JPEG."""
+    pos, n_frames = 0, 0
+    sr = br = ch = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF or (b[pos + 1] & 0xE0) != 0xE0:
+            raise ValueError(f"MP3 frame sync expected at offset {pos}")
+        version = (b[pos + 1] >> 3) & 0x3
+        layer = (b[pos + 1] >> 1) & 0x3
+        if version != 3 or layer != 1:
+            raise ValueError("unsupported stream (need MPEG-1 Layer III)")
+        br_idx = b[pos + 2] >> 4
+        sr_idx = (b[pos + 2] >> 2) & 0x3
+        pad = (b[pos + 2] >> 1) & 0x1
+        mode = b[pos + 3] >> 6
+        if not 1 <= br_idx <= 14 or sr_idx > 2:
+            raise ValueError("bad bitrate/sample-rate index")
+        f_br = MP3_BITRATES[br_idx - 1]
+        f_sr = MP3_SAMPLE_RATES[sr_idx]
+        f_ch = 1 if mode == 3 else 2
+        if sr is None:
+            sr, br, ch = f_sr, f_br, f_ch
+        elif (f_sr, f_br, f_ch) != (sr, br, ch):
+            raise ValueError("heterogeneous frame headers (CBR expected)")
+        pos += 144_000 * f_br // f_sr + pad
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("no MP3 frames")
+    if pos != len(b):
+        raise ValueError("truncated final frame or trailing bytes")
+    return sr, n_frames, ch, br
+
+
 def _parse_jfif(b: bytes) -> tuple[int, int, int]:
     """(width, height, channels) from a baseline JFIF/JPEG payload — a pure
     ``bytes`` marker scan (stdlib only): walk segments by their big-endian
@@ -436,15 +542,17 @@ def _parse_bmp(b: bytes) -> tuple[int, int, int, int, int]:
 
 
 def decode_media_features(media: DataFrame) -> DataFrame:
-    """REAL decode over (media_id, kind ∈ {wav, ppm, bmp}, payload binary)
-    via Arrow-batched ``mapInPandas``. The per-item header parse is the
-    unavoidable decoder call (the analog of PIL/libav); the numeric frame
-    work is vectorized numpy per payload. Integer-exact outputs only
-    (sums, counts, rates) so the oracle compare is float-free."""
+    """REAL decode over (media_id, kind ∈ {wav, ppm, bmp, jpeg, mp3},
+    payload binary) via Arrow-batched ``mapInPandas``. The per-item header
+    parse is the unavoidable decoder call (the analog of PIL/libav); the
+    numeric frame work is vectorized numpy per payload. Integer-exact
+    outputs only (sums, counts, rates) so the oracle compare is
+    float-free."""
 
     cols = [
         "media_id", "kind", "sample_rate", "n_samples", "sum_abs_amplitude",
         "width", "height", "sum_r", "sum_g", "sum_b", "channels",
+        "bitrate_kbps",
     ]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -477,6 +585,16 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                     # entropy-coded raster needs a DCT/Huffman lib (absent
                     # here) — dimensions/channels are the honest real parse
                     row.update(width=w, height=h, channels=ch)
+                elif kind == "mp3":
+                    sr, nf, ch, br = _parse_mp3(b)
+                    # compressed granules need Huffman/IMDCT (absent) —
+                    # rates/channels/duration are the honest header parse
+                    row.update(
+                        sample_rate=sr,
+                        n_samples=nf * MP3_SAMPLES_PER_FRAME,
+                        channels=ch,
+                        bitrate_kbps=br,
+                    )
                 else:
                     raise ValueError(f"unknown media kind {kind!r}")
                 for c in cols:

@@ -259,3 +259,68 @@ def test_jfif_dimension_parse_roundtrip(spark):
         _parse_jfif(b"\xff\xd8\xff\xe0\x00\x04ab\xff\xd9")
     with pytest.raises(ValueError, match="SOI"):
         _parse_jfif(b"PNG not jpeg")
+
+
+def test_mp3_header_parse_roundtrip(spark):
+    """The MP3 frame walk must recover (sample_rate, n_frames -> decoded
+    samples, channels, bitrate) from the generated MPEG-1 Layer III
+    streams — hopping frames by the computed 144*bitrate/rate + padding
+    size (the padding bit varies per frame, so a constant stride would
+    desync) — and must reject truncated / VBR / non-MPEG-1 streams."""
+    from pyspark.sql import functions as F
+
+    from calendar_event_entity_extraction_spark.operators.multimodal import (
+        MP3_BITRATES,
+        MP3_SAMPLE_RATES,
+        _parse_mp3,
+        decode_media_features,
+        synth_mp3_hex_col,
+    )
+
+    k = F.col("id")
+    media = spark.range(64).select(
+        k.alias("media_id"),
+        F.lit("mp3").alias("kind"),
+        F.unhex(synth_mp3_hex_col(k)).alias("payload"),
+    )
+    got = {r["media_id"]: r.asDict() for r in decode_media_features(media).collect()}
+    for i in range(64):
+        r = got[i]
+        assert r["sample_rate"] == MP3_SAMPLE_RATES[i % 3]
+        assert r["n_samples"] == (2 + (i // 16) % 4) * 1152
+        assert r["channels"] == 2 - (i // 16) % 2
+        assert r["bitrate_kbps"] == MP3_BITRATES[i % 14]
+        assert r["width"] is None and r["sum_abs_amplitude"] is None
+
+    # the parser on raw bytes, plus byte-level structure: sync + MPEG-1
+    # Layer III marker 0xFFFB, and total length = sum of per-frame sizes
+    payload = bytes(
+        media.filter(F.col("media_id") == 21).select("payload").first()[0]
+    )
+    assert payload[:2] == b"\xff\xfb"
+    sr, nf, ch, br = _parse_mp3(payload)
+    assert (sr, nf, ch, br) == (
+        MP3_SAMPLE_RATES[21 % 3], 2 + (21 // 16) % 4,
+        2 - (21 // 16) % 2, MP3_BITRATES[21 % 14],
+    )
+    assert len(payload) == sum(
+        144_000 * br // sr + (21 + f) % 2 for f in range(nf)
+    )
+
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_mp3(payload[:-1])
+    with pytest.raises(ValueError, match="sync"):
+        _parse_mp3(b"ID3 tag junk")
+    # MPEG-2 (version bits 10) must be rejected, not silently mis-sized
+    v2 = bytearray(payload)
+    v2[1] = 0xF3
+    with pytest.raises(ValueError, match="MPEG-1"):
+        _parse_mp3(bytes(v2))
+    # a mid-stream bitrate change is VBR — CBR parser must refuse
+    frame1_len = 144_000 * br // sr + (21 % 2)
+    vbr = bytearray(payload)
+    vbr[frame1_len + 2] = (vbr[frame1_len + 2] & 0x0F) | (
+        ((21 % 14 + 2) % 14 + 1) << 4
+    )
+    with pytest.raises(ValueError, match="CBR|sync"):
+        _parse_mp3(bytes(vbr))
