@@ -257,7 +257,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     n_probe: int = 4,
     kmeans_iterations: int = 0,
     portable_seed: bool = False,
@@ -283,7 +283,23 @@ def ivf_topk(
     driver query. Cell assignment quantizes the distance to 9 decimals
     (matching the existing rank quantization) so assignment ties resolve by
     centroid index identically across engines.
+
+    ``n_centroids="sqrt"`` sizes the inverted file to the corpus at plan
+    time: max(16, ⌈√N⌉) cells — the classic balance point where per-query
+    assignment cost O(n_cells) equals per-query scan cost
+    O(n_probe·N/n_cells), giving O(√N) per query instead of the O(N) a
+    FIXED cell count degrades to as the corpus grows (measured: at 20k
+    vectors, √N=141 cells is 3.1× faster than 16 cells at identical
+    n_probe/k — BENCH.md round-5 ANN section). Costs one count() of the
+    corpus at plan time (an AQE-style planning action); the registry row
+    pins the literal 16 so its SQL oracle stays replicable.
     """
+    if n_centroids == "sqrt":
+        import math
+
+        n_centroids = max(16, math.isqrt(max(corpus.count() - 1, 0)) + 1)
+    elif not isinstance(n_centroids, int):
+        raise ValueError(f"n_centroids must be an int or 'sqrt': {n_centroids!r}")
     seed_order = (
         F.md5(F.col(id_col).cast("string"))
         if portable_seed

@@ -443,3 +443,23 @@ def test_overflow_star_restores_hot_bucket_connectivity(spark):
         r["id_b"] for r in verified.collect()
     }
     assert ids_in_pairs == set(range(50))
+
+
+def test_ivf_topk_sqrt_auto_cells(vectors):
+    """n_centroids="sqrt" sizes the inverted file to the corpus at plan
+    time (max(16, ceil(sqrt(N))) cells) — the production dial the BENCH.md
+    ANN section measures. Must still recall the planted near-identical
+    neighbor, stay deterministic, and reject non-int/non-"sqrt" values."""
+    from calendar_event_entity_extraction_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    df, _ = vectors  # 60 vectors -> ceil(sqrt(60)) = 8 -> max(16, 8) = 16
+    q = df.filter(F.col("vec_id") == 0)
+    got = ivf_topk(df, q, k=3, n_centroids="sqrt", n_probe=3).collect()
+    assert any(r["neighbor_id"] == 1 and r["rank"] == 1 for r in got), got
+    # identical to the explicit floor value (16) it resolves to here
+    explicit = ivf_topk(df, q, k=3, n_centroids=16, n_probe=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, explicit))
+    with pytest.raises(ValueError, match="sqrt"):
+        ivf_topk(df, q, k=3, n_centroids="auto")
