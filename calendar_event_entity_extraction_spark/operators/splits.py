@@ -53,15 +53,56 @@ def text_signature(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+def _split_rank(split_col: str) -> Column:
+    """Precedence rank: train=0 < eval=1 < test=2."""
+    return (
+        F.when(F.col(split_col) == "train", F.lit(0))
+        .when(F.col(split_col) == "eval", F.lit(1))
+        .otherwise(F.lit(2))
+    )
+
+
 def drop_split_leakage(
     splits: DataFrame, text_col: str = "text", split_col: str = "split"
 ) -> DataFrame:
     """Drop eval/test rows whose signature appears in train, and test rows
     whose signature appears in eval (precedence train > eval > test).
 
-    Two left anti-joins; the signature side is aggregated first so the join
-    keys are distinct (smaller shuffle, and broadcastable when small).
+    Equivalent formulation: a row survives iff the precedence rank of its
+    split equals the MINIMUM rank among all rows sharing its signature
+    (min=train ⇒ only train rows kept; min=eval ⇒ eval kept, test dropped;
+    min=test ⇒ kept). Physical shape: one map-side-combinable
+    ``min(rank) GROUP BY sig`` aggregate (skew-safe — a boilerplate
+    signature pre-combines per map task) + one equi-join back, which AQE
+    can skew-split because the build side is one row per signature. The
+    reference-shaped 3-anti-join form (:func:`drop_split_leakage_antijoin`,
+    ``augmentation/augmentors.py:64-78``) scans the corpus FIVE times and
+    recomputes the signature regex per branch; this one scans it twice.
+    Signatures whose group-min is ``test`` are dropped from the build side
+    before the join (test rows with no train/eval dup are kept anyway, via
+    the null-coalesce), shrinking it to train∪eval signatures.
     """
+    sig = text_signature(F.col(text_col))
+    df = splits.withColumn("_sig", sig)
+    rank = _split_rank(split_col)
+    flags = (
+        df.select("_sig", rank.alias("_rk"))
+        .groupBy("_sig")
+        .agg(F.min("_rk").alias("_min_rk"))
+        .filter(F.col("_min_rk") < 2)
+    )
+    joined = df.withColumn("_rk", rank).join(flags, "_sig", "left")
+    keep = F.col("_rk") == F.coalesce(F.col("_min_rk"), F.lit(2))
+    return joined.filter(keep).drop("_sig", "_rk", "_min_rk")
+
+
+def drop_split_leakage_antijoin(
+    splits: DataFrame, text_col: str = "text", split_col: str = "split"
+) -> DataFrame:
+    """Reference-shaped formulation (kept as the equality pin for
+    :func:`drop_split_leakage`): two distinct-signature sets + three left
+    anti-joins. Same rows, but five corpus scans — the single-aggregate
+    form above is the production path."""
     sig = text_signature(F.col(text_col))
     df = splits.withColumn("_sig", sig)
     train_sigs = df.filter(F.col(split_col) == "train").select("_sig").distinct()

@@ -67,9 +67,15 @@ def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_entity_pool_attendees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attendee pool count over pred-pruned triples: ``preds=["attendee"]``
+    drops the location/duration/recurrence/notes extractors from the plan
+    entirely (only the canonicalize merge key action/date/time is still
+    normalized) — the pool never pays for fields it doesn't count."""
     from .operators.triples import extract_triples
 
-    tr = extract_triples(materialized_transcripts(spark, sf_dir))
+    tr = extract_triples(
+        materialized_transcripts(spark, sf_dir), preds=["attendee"]
+    )
     return (
         tr.filter(F.col("pred") == "attendee")
         .groupBy(F.col("obj").alias("name"))
@@ -83,7 +89,9 @@ def q_entity_pool_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.entity_link import salted_count
     from .operators.triples import extract_triples
 
-    tr = extract_triples(materialized_transcripts(spark, sf_dir))
+    tr = extract_triples(
+        materialized_transcripts(spark, sf_dir), preds=["location"]
+    )
     loc = tr.filter(F.col("pred") == "location").select(
         "conv_id", "turn_idx", F.col("obj").alias("name")
     )

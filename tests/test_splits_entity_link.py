@@ -85,6 +85,33 @@ def test_leakage_anti_join_drops_shared_signatures(spark):
     assert kept == {0, 2, 5}
 
 
+def test_leakage_min_rank_equals_antijoin_form(spark):
+    """The single-aggregate min-rank formulation must return EXACTLY the
+    rows of the reference-shaped 3-anti-join form — including duplicate
+    train rows (all kept) and eval+test signature collisions with no
+    train member (eval kept, test dropped)."""
+    from calendar_event_entity_extraction_spark.operators.splits import (
+        drop_split_leakage_antijoin,
+    )
+
+    rows = [
+        (0, "shared text", "train"),
+        (1, "shared text", "train"),        # duplicate train rows: BOTH kept
+        (2, "  SHARED   text ", "eval"),    # train sig → dropped
+        (3, "eval only dup", "eval"),
+        (4, "EVAL  only   dup", "test"),    # eval sig (no train) → dropped
+        (5, "unique test", "test"),
+        (6, "shared text", "test"),         # train sig → dropped
+        (7, "another eval", "eval"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    a = drop_split_leakage(df)
+    b = drop_split_leakage_antijoin(df)
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert {r["doc_id"] for r in a.collect()} == {0, 1, 3, 5, 7}
+
+
 def test_deterministic_sample_stable(spark):
     df = spark.range(1000).withColumnRenamed("id", "k")
     a = [r["k"] for r in deterministic_sample(df, "k", 50).collect()]

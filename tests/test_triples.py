@@ -29,6 +29,43 @@ def test_triples_roundtrip(spark):
     assert b.exceptAll(a).count() == 0
 
 
+def test_triples_pred_subset_equals_filtered_full(spark):
+    """`preds=` pruning must yield exactly the full triple set filtered to
+    those predicates — for a list pred (attendee, with obj_idx ordering),
+    a scalar pred (location), and a mixed subset."""
+    from calendar_event_entity_extraction_spark.operators.triples import (
+        extract_triples,
+    )
+
+    keys = keys_df(spark, 500)
+    tr = transcripts_from_keys(keys)
+    full = extract_triples(tr).cache()
+    for preds in (["attendee"], ["location"], ["attendee", "duration"]):
+        sub = extract_triples(tr, preds=preds)
+        want = full.filter(F.col("pred").isin(preds))
+        assert sub.exceptAll(want).count() == 0
+        assert want.exceptAll(sub).count() == 0
+    full.unpersist()
+
+
+def test_triples_pred_pruning_drops_unused_extractors(spark):
+    """Plan pin: with ``preds=["attendee"]`` the recurrence extractor (its
+    vocabulary regex contains 'biweekly', which appears nowhere else in the
+    extraction expressions) must be PRUNED from the physical plan; the full
+    triple plan must still carry it."""
+    from calendar_event_entity_extraction_spark.operators.triples import (
+        extract_triples,
+    )
+
+    tr = transcripts_from_keys(keys_df(spark, 50))
+    pruned = extract_triples(tr, preds=["attendee"])
+    full = extract_triples(tr)
+    p = pruned._jdf.queryExecution().executedPlan().toString()
+    f = full._jdf.queryExecution().executedPlan().toString()
+    assert "biweekly" not in p
+    assert "biweekly" in f
+
+
 def test_per_turn_text_equality_invariant(spark):
     """input_hint invariant: per-turn text is preserved end-to-end under
     stable (conv_id, turn_idx) ordering."""
