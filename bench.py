@@ -274,6 +274,7 @@ def main() -> None:
             "eval_metrics",
             "augment_pipeline",
             "dedup_exact",
+            "dup_spans",
             "minhash_neardup",
             "neardup_clusters",
             "curation_full",

@@ -94,6 +94,52 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_DEDUP_EXACT = f"WITH {_PLANTED_SQL} SELECT min(doc_id) AS doc_id FROM planted GROUP BY text"
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2022) over
+    the planted corpus: identical copies (%20==7) and tail-extended copies
+    (%20==3) guarantee long cross-doc spans, and any templated sentences
+    the synthetic docs share surface as shorter ones. k=10-token windows;
+    the oracle recomputes grams → min≠max dup set → gaps-and-islands span
+    merge ab initio in SQL."""
+    from .operators.dedup import duplicate_spans
+
+    return duplicate_spans(_docs_planted(spark, sf_dir), "doc_id", "text", k=10)
+
+
+_DUPSPAN_CAT = " || ' ' || ".join(
+    "tk[i]" if j == 0 else f"tk[i+{j}]" for j in range(10)
+)
+
+O_DUP_SPANS = f"""
+WITH {_PLANTED_SQL},
+tk AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM planted),
+gr AS (
+  SELECT doc_id, i - 1 AS pos, {_DUPSPAN_CAT} AS g
+  FROM (SELECT doc_id, tk,
+               unnest(range(1, greatest(len(tk) - 10 + 1, 0) + 1)) AS i
+        FROM tk)
+),
+dup AS (SELECT g FROM gr GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+d AS (SELECT doc_id, pos FROM gr WHERE g IN (SELECT g FROM dup)),
+i1 AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 10
+              THEN 1 ELSE 0 END AS nw
+  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+s AS (
+  SELECT doc_id, pos,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS isl
+  FROM i1
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 9 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM s GROUP BY doc_id, isl
+"""
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production signature path (Arrow kernel, `minhash_sigs_udf`) pinned
     against the DuckDB per-perm spec oracle — the hash match proves the
@@ -1352,12 +1398,17 @@ FROM d
 #   minhash_neardup_capped — same oracle as minhash_neardup (cap above
 #     every bucket population ⇒ provably identical output)
 #   curation_pipeline — strict subset of curation_full's stage chain
+#   minhash_signatures — kernel-vs-DuckDB-spec pin; displaced (round-4
+#     verdict #8 candidate) by dup_spans, which adds NEW semantics
+#     (exact-substring span dedup) — the kernel stays pinned here AND by
+#     the kernel-vs-Column-spec pytest, and minhash_neardup's driver row
+#     runs the same kernel in its lineage
 
 
 def docs_queries() -> dict:
     return {
         "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
+        "dup_spans": q_dup_spans,
         "minhash_neardup": q_minhash_neardup,
         "neardup_clusters": q_neardup_clusters,
         "mixture_sample": q_mixture_sample,
@@ -1389,7 +1440,7 @@ def docs_queries() -> dict:
 def docs_oracles() -> dict:
     return {
         "dedup_exact": O_DEDUP_EXACT,
-        "minhash_signatures": O_MINHASH_SIG,
+        "dup_spans": O_DUP_SPANS,
         "minhash_neardup": O_MINHASH_NEARDUP,
         "neardup_clusters": O_NEARDUP_CLUSTERS,
         "mixture_sample": O_MIXTURE_SAMPLE,
@@ -1426,4 +1477,5 @@ def extra_oracle_pairs() -> dict:
     return {
         "minhash_neardup_capped": (q_minhash_neardup_capped, O_MINHASH_NEARDUP),
         "curation_pipeline": (q_curation_pipeline, O_CURATION),
+        "minhash_signatures": (q_minhash_signatures, O_MINHASH_SIG),
     }

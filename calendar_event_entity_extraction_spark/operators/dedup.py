@@ -524,3 +524,128 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("sh_a").alias("simhash"), "hamming")
     )
+
+
+# -------------------------------------------- exact substring (dup spans)
+
+
+def duplicate_spans(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """ExactSubstr-style cross-document duplicate-SPAN detection (the
+    suffix-array dedup of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", re-expressed relationally): a token
+    window of length ``k`` that occurs verbatim in MORE THAN ONE document
+    is a duplicated window; overlapping-or-adjacent duplicated windows
+    merge into maximal spans. Complements the doc-level family (exact /
+    MinHash / SimHash / Jaccard / embedding): those decide *keep-or-drop
+    per document*, this one localizes *which token ranges* are boilerplate
+    shared across documents (licenses, headers, templated intros) so they
+    can be scrubbed while the rest of the document survives.
+
+    Returns one row per maximal span: ``(id, span_start, span_end,
+    n_windows)`` — 0-based inclusive token positions over the whitespace
+    token stream, ``n_windows`` = duplicated k-windows merged into the
+    span.
+
+    Physical shape (the published approach costs one suffix-array pass
+    over the corpus; this costs two linear gram generations):
+
+    * gram generation is narrow (posexplode of per-doc windows — rows ≈
+      corpus token count);
+    * "occurs in >1 doc" is ONE map-side-combinable ``min(id) ≠ max(id)``
+      aggregate per gram — no count-distinct, and a boilerplate gram held
+      by millions of docs pre-combines per map task (skew-safe);
+    * the join back of the dup-gram set is AQE-skew-splittable (build side
+      is one row per duplicated gram);
+    * span merge is a per-document gaps-and-islands window — partition
+      size bounded by document length, never by corpus size.
+
+    ``hash_grams=True`` replaces the gram string with ``xxhash64(gram)``
+    as the aggregate/join key — the shuffle shrinks from ~k words to 8
+    bytes per window, at the cost of a ~2⁻⁶⁴ per-pair collision
+    probability (value-equality on the fixture is pytested). The oracle
+    row runs with exact strings.
+    """
+    from ..functions.text import _ngram_arr
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    g = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_ngram_arr(toks, k)).alias("_pos", "_g"),
+    ).select(
+        "_id",
+        "_pos",
+        (F.xxhash64("_g") if hash_grams else F.col("_g")).alias("_key"),
+    )
+    dup = (
+        g.groupBy("_key")
+        .agg(F.min("_id").alias("_a"), F.max("_id").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .select("_key")
+    )
+    d = g.join(dup, "_key", "left_semi").select("_id", "_pos")
+
+    w = Window.partitionBy("_id").orderBy("_pos")
+    prev = F.lag("_pos").over(w)
+    new_span = F.when(prev.isNull() | (F.col("_pos") > prev + k), 1).otherwise(0)
+    isl = F.sum(new_span).over(
+        Window.partitionBy("_id")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.withColumn("_isl", isl)
+        .groupBy("_id", "_isl")
+        .agg(
+            F.min("_pos").cast("long").alias("span_start"),
+            (F.max("_pos") + k - 1).cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "span_start", "span_end", "n_windows"
+        )
+    )
+
+
+def scrub_duplicate_spans(
+    corpus: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove the duplicated spans found by :func:`duplicate_spans` from
+    each document's text (the ExactSubstr *action*): tokens whose 0-based
+    position falls inside any of the doc's spans are dropped; the
+    remaining tokens re-join with single spaces. Docs with no spans pass
+    through untouched (left join). One broadcastable-or-shuffled join on
+    id + a narrow codegen rebuild: the kept-token filter works on the
+    flat span-boundary arrays via a position bitmap built from
+    ``sequence``+``arrays_zip``-free logic — spans per doc are few, so the
+    per-token containment test is a bounded ``exists`` over the span
+    array."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    joined = corpus.join(sp, id_col, "left")
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            spans_arr,
+            lambda s: (i.cast("long") >= s["span_start"])
+            & (i.cast("long") <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        *[c for c in corpus.columns if c != text_col],
+        F.concat_ws(" ", kept).alias(text_col),
+    )
