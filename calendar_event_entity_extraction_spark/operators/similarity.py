@@ -125,12 +125,34 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    planes: int = 4,
+    planes: int | str = 4,
+    target_bucket: int = 128,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's LSH bucket are
     scored. Recall < 1; cost drops ~2^planes. Same output schema as
     brute_force_topk. Bucketing runs in the Arrow kernel
-    (:func:`hyperplane_bucket_udf`, bit-exact with the Column spec)."""
+    (:func:`hyperplane_bucket_udf`, bit-exact with the Column spec).
+
+    ``planes="auto"`` is the production dial (the LSH analog of
+    ``ivf_topk(n_centroids="sqrt")``): a FIXED plane count degrades to
+    quadratic total cost as the corpus grows — buckets hold N/2^planes
+    vectors, queries scale with N, so candidate pairs scale N²/2^planes
+    (measured: the registry row's fixed 4 planes read 5.5 s at 200k
+    vectors but 453 s at 2M — ratio 83 for 10× data, BENCH.md sf10
+    section). Auto sizing keeps the expected bucket near
+    ``target_bucket``: planes = ⌈log2(N / target_bucket)⌉ (min 1), so
+    per-query candidates stay ~constant and total cost scales ~linearly
+    with N (at recall's expense — the standard LSH trade; raise
+    ``target_bucket`` or probe multiple bands for recall). Costs one
+    corpus ``count()`` at plan time; the registry row pins planes=4 so
+    its SQL oracle stays replicable."""
+    if planes == "auto":
+        import math
+
+        n = corpus.count()
+        planes = max(1, math.ceil(math.log2(max(n, 2) / target_bucket)))
+    elif not isinstance(planes, int):
+        raise ValueError(f"planes must be an int or 'auto': {planes!r}")
     bucket = hyperplane_bucket_udf(planes, dims)(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias("query_id"),

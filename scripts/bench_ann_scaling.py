@@ -80,5 +80,60 @@ def main() -> None:
     spark.stop()
 
 
+def main_lsh() -> None:
+    """LSH analog (round-5 sf10 analysis): the registry row's FIXED 4
+    planes give 16 buckets forever — bucket size ∝ N, queries ∝ N, so
+    candidate pairs ∝ N²/16 (measured in the sf10 bench: 5.45 s at 200k
+    vectors → 453 s at 2M… i.e. 20k → 200k embeddings, ratio 83 for 10×
+    data). `planes="auto"` sizes planes = ⌈log2(N/target_bucket)⌉ so the
+    expected bucket stays ~target and total cost scales ~linearly. This
+    measures fixed4 vs auto at sf1 and auto at sf10 (fixed4@sf10 is the
+    453 s bench row — not re-paid here)."""
+    from pyspark.sql import functions as F
+
+    from calendar_event_entity_extraction_spark.operators.similarity import (
+        lsh_topk,
+    )
+    from calendar_event_entity_extraction_spark.session import get_spark
+
+    spark = get_spark(app_name="cees-lsh-scaling", cores=32)
+    out: dict = {}
+    cases = [
+        ("sf1_fixed4", "/tmp/cees_testdata/sf1", 4),
+        ("sf1_auto", "/tmp/cees_testdata/sf1", "auto"),
+        ("sf10_auto", "/tmp/cees_testdata/sf10", "auto"),
+    ]
+    for label, sf_dir, planes in cases:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = emb.count()
+        dims = len(emb.select("embedding").first()[0])
+        queries = emb.filter(F.col("vec_id") % 41 == 0)
+        n_q = queries.count()
+
+        def build(i: int):
+            e = emb.filter(F.length(F.col("vec_id").cast("string")) > -1 - i)
+            return lsh_topk(e, queries, dims=dims, k=5, planes=planes)
+
+        build(99).count()  # untimed promotion pass
+        best = None
+        for i in range(2):
+            t0 = time.time()
+            build(i).count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out[label] = {
+            "n": n,
+            "n_queries": n_q,
+            "planes": planes,
+            "sec": round(best, 2),
+            "ms_per_query": round(1000 * best / n_q, 1),
+        }
+    out["per_query_growth_auto_sf1_to_sf10"] = round(
+        out["sf10_auto"]["ms_per_query"] / out["sf1_auto"]["ms_per_query"], 2
+    )
+    print(json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    main_lsh() if "--lsh" in sys.argv else main()

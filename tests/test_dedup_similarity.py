@@ -134,6 +134,21 @@ def test_lsh_topk_recalls_planted_neighbor(vectors):
     assert any(r["neighbor_id"] == 1 and r["rank"] == 1 for r in got), got
 
 
+def test_lsh_topk_auto_planes(vectors):
+    """`planes="auto"` resolves to ⌈log2(N/target_bucket)⌉ (min 1), runs the
+    same kernel, keeps the planted near-identical neighbor (it lands in the
+    same bucket under ANY hyperplane set), and rejects junk strings."""
+    import pytest
+
+    df, _ = vectors
+    q = df.filter(F.col("vec_id") == 0)
+    # 600 vectors, target_bucket=64 → planes = ceil(log2(600/64)) = 4
+    got = lsh_topk(df, q, dims=16, k=3, planes="auto", target_bucket=64).collect()
+    assert any(r["neighbor_id"] == 1 and r["rank"] == 1 for r in got), got
+    with pytest.raises(ValueError):
+        lsh_topk(df, q, dims=16, k=3, planes="many")
+
+
 def test_bucket_cap_bounds_hot_bucket(spark):
     """A pathological corpus (many identical docs ⇒ one hot band bucket)
     must produce at most C(cap, 2) candidate pairs per bucket, not
