@@ -102,6 +102,45 @@ def shingles_udf(n: int = 3):
     return sh
 
 
+def ngrams_udf(n: int, distinct: bool = False):
+    """Arrow-batched word n-gram windows — :func:`shingles_udf` generalized
+    beyond n=3 (same byte-exact tokenization: ASCII-space trim, Java
+    ``\\s``-class split, ``str.lower``; see the locale caveat on
+    ``text.repetition_keep_udf``). ``distinct=False`` emits EVERY window in
+    text order with multiplicity, so ``posexplode`` yields the 0-based
+    window position — the contract of :func:`duplicate_spans`.
+    ``distinct=True`` emits the sorted distinct set (the
+    ``decontaminate`` contract; its consumers are a distinct-aggregate and
+    a semi-join, both order-insensitive). Null when the doc has fewer than
+    ``n`` tokens — ``posexplode``/``explode`` generate nothing for null,
+    exactly like the Column spec's empty-array guard. The Column forms
+    (``functions.text._ngram_arr`` / :func:`shingles_col`) remain the
+    specs and the DuckDB oracles' mirrors; the interpreted
+    slice-per-position lambda they plan into is the ~0.46-core-scaling
+    CodegenFallback shape of perf lessons #10/#13, and the kernel rides
+    the per-core Python workers instead (equality-pytested)."""
+    import re
+
+    java_ws = re.compile(r"[ \t\n\x0B\f\r]+")
+
+    @F.pandas_udf("array<string>")
+    def grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = java_ws.split(t.strip(" ").lower())
+            if len(toks) < n:
+                out.append(None)
+                continue
+            g = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            out.append(sorted(set(g)) if distinct else g)
+        return pd.Series(out)
+
+    return grams
+
+
 def minhash_from_shingles(sh: Column, perms: int = 8) -> list[Column]:
     """One min-hash per permutation: min over shingles of
     md5(perm-tag || shingle). md5 is identical in Spark and DuckDB/standard
@@ -570,13 +609,15 @@ def duplicate_spans(
     bytes per window, at the cost of a ~2⁻⁶⁴ per-pair collision
     probability (value-equality on the fixture is pytested). The oracle
     row runs with exact strings.
-    """
-    from ..functions.text import _ngram_arr
 
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    Window generation runs in the Arrow kernel :func:`ngrams_udf`
+    (ordered, with multiplicity — posexplode position = window position);
+    the Column spec `functions.text._ngram_arr` mirrors the DuckDB oracle
+    and pins the kernel via equality test.
+    """
     g = corpus.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(_ngram_arr(toks, k)).alias("_pos", "_g"),
+        F.posexplode(ngrams_udf(k)(F.col(text_col))).alias("_pos", "_g"),
     ).select(
         "_id",
         "_pos",

@@ -198,16 +198,22 @@ def decontaminate(
     (Spark's distributed ``bloom_filter_agg`` expression is not registered
     in this build); at 100 M benchmark grams that is a one-off 800 MB scan
     collapsing to a 200 MB bitset — the same order as broadcasting the gram
-    set itself, but the probe then costs O(1) per corpus gram regardless."""
-    from ..functions.text import _ngram_arr
+    set itself, but the probe then costs O(1) per corpus gram regardless.
 
-    toks = lambda c: F.split(F.lower(F.trim(c)), r"\s+")  # noqa: E731
+    Gram generation runs in the Arrow kernel ``dedup.ngrams_udf(n,
+    distinct=True)`` (byte-exact with the Column spec
+    ``functions.text._ngram_arr`` + ``array_distinct``, which stays as the
+    oracle mirror and equality pin) — the interpreted slice-per-position
+    lambda was the CodegenFallback shape of perf lessons #10/#13."""
+    from .dedup import ngrams_udf
+
+    grams = ngrams_udf(n, distinct=True)
     cg = corpus.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(_ngram_arr(toks(F.col(text_col)), n))).alias("_g"),
+        F.explode(grams(F.col(text_col))).alias("_g"),
     )
     bg = benchmark.select(
-        F.explode(F.array_distinct(_ngram_arr(toks(F.col(text_col)), n))).alias("_g")
+        F.explode(grams(F.col(text_col))).alias("_g")
     ).distinct()
     if bloom_gate:
         import math

@@ -86,6 +86,53 @@ def test_hash_grams_value_identical(spark):
     assert a.count() > 0  # fixture actually exercises the path
 
 
+def test_ngrams_udf_matches_column_spec(spark):
+    """Kernel↔spec equality (the minhash_sigs_udf discipline): ordered
+    ngrams_udf must equal posexplode(_ngram_arr(split(lower(trim(text)))))
+    positions AND values; distinct=True must equal
+    array_distinct(_ngram_arr(...)) as a SET — on adversarial whitespace
+    (tabs, newlines, form feed, vertical tab, multi-space runs, leading/
+    trailing spaces, unicode tokens, short docs, empty-ish strings)."""
+    from calendar_event_entity_extraction_spark.functions.text import (
+        _ngram_arr,
+    )
+    from calendar_event_entity_extraction_spark.operators.dedup import (
+        ngrams_udf,
+    )
+
+    rows = [
+        (0, "plain words here for a simple window test"),
+        (1, "  leading and trailing spaces  "),
+        (2, "tab\tseparated\ttokens\tand\nnewlines\nmixed in"),
+        (3, "multi   space    runs \x0b vertical \x0c formfeed"),
+        (4, "Café naïve ÜBER tokens ünïcode test case here"),
+        (5, "short doc"),
+        (6, "UPPER Case MiXeD tokens normalize identically always ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 3
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    spec = df.select(
+        "doc_id", F.posexplode(_ngram_arr(toks, n)).alias("pos", "g")
+    )
+    kern = df.select(
+        "doc_id", F.posexplode(ngrams_udf(n)(F.col("text"))).alias("pos", "g")
+    )
+    assert spec.exceptAll(kern).count() == 0
+    assert kern.exceptAll(spec).count() == 0
+
+    spec_d = df.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngram_arr(toks, n))).alias("g"),
+    )
+    kern_d = df.select(
+        "doc_id", F.explode(ngrams_udf(n, distinct=True)(F.col("text"))).alias("g")
+    )
+    assert spec_d.exceptAll(kern_d).count() == 0
+    assert kern_d.exceptAll(spec_d).count() == 0
+
+
 def test_scrub_removes_span_tokens_only(spark):
     shared = "c1 c2 c3 c4 c5"
     df = _mkdocs(
