@@ -84,9 +84,20 @@ def _duck(sql: str):
     return con.execute(sql).fetchdf()
 
 
-@pytest.mark.parametrize("name", ["minhash_neardup_capped", "curation_pipeline"])
+def _extra_pair_names():
+    from calendar_event_entity_extraction_spark.docs_queries import (
+        extra_oracle_pairs,
+    )
+
+    return sorted(extra_oracle_pairs())
+
+
+@pytest.mark.parametrize("name", _extra_pair_names())
 def test_extra_pairs_still_hash_match(spark, name):
-    """De-registered variants keep full oracle-equality coverage here."""
+    """De-registered variants keep full oracle-equality coverage here —
+    enumerated from extra_oracle_pairs() so a newly displaced registry row
+    (e.g. minhash_signatures, moved for dup_spans) cannot silently lose
+    its oracle check."""
     from calendar_event_entity_extraction_spark.docs_queries import (
         extra_oracle_pairs,
     )
