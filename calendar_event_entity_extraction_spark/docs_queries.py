@@ -27,6 +27,7 @@ from .operators.dedup import (
 )
 from .operators.similarity import brute_force_topk
 from .operators.splits import assign_split, drop_split_leakage
+from .sources.tables import spread_scan
 
 PLANT_OFFSET = 1_000_000
 
@@ -35,6 +36,23 @@ PLANT_OFFSET = 1_000_000
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# spread policy (round-6, guide §2.5): the sf fixtures are single-row-group
+# parquet files — unsplittable, so ONE scan task feeds every narrow stage
+# above the first exchange. Queries whose pre-shuffle work is heavy (Arrow
+# kernels, gram/token explodes, per-pair folds) wrap their input in
+# ``spread_scan``; trivially-narrow rows (hash_split, mixture_sample,
+# text_stats, pii_scrub, simhash) stay unspread — for them the extra
+# 0.6 MB exchange costs more than the single-core projection it would
+# parallelize.
+
+
+def _emb_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        f"{sf_dir}/embeddings.parquet",
+    )
 
 
 def _docs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,7 +121,9 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge ab initio in SQL."""
     from .operators.dedup import duplicate_spans
 
-    return duplicate_spans(_docs_planted(spark, sf_dir), "doc_id", "text", k=10)
+    return duplicate_spans(
+        spread_scan(_docs_planted(spark, sf_dir), f"{sf_dir}/documents.parquet"), "doc_id", "text", k=10
+    )
 
 
 _DUPSPAN_CAT = " || ' ' || ".join(
@@ -146,7 +166,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel's tokenize/shingle/hash/min replicates the Column spec."""
     from .operators.dedup import minhash_sigs_udf
 
-    return _docs(spark, sf_dir).select(
+    return spread_scan(_docs(spark, sf_dir), f"{sf_dir}/documents.parquet").select(
         "doc_id", minhash_sigs_udf(perms=4)(F.col("text")).alias("_mhs")
     ).select(
         "doc_id", *[F.element_at("_mhs", j + 1).alias(f"mh{j}") for j in range(4)]
@@ -163,7 +183,7 @@ FROM t
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_duplicates(
-        _docs_planted(spark, sf_dir), "doc_id", "text",
+        spread_scan(_docs_planted(spark, sf_dir), f"{sf_dir}/documents.parquet"), "doc_id", "text",
         threshold=0.6, perms=8, rows_per_band=2,
     )
     # exact integer intersect/union sizes instead of a float ratio
@@ -201,7 +221,7 @@ def q_minhash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     — this pins the capped window+join machinery, not just its recall
     trade-off (which `test_bucket_cap_bounds_hot_bucket` covers)."""
     pairs = minhash_near_duplicates(
-        _docs_planted(spark, sf_dir), "doc_id", "text",
+        spread_scan(_docs_planted(spark, sf_dir), f"{sf_dir}/documents.parquet"), "doc_id", "text",
         threshold=0.6, perms=8, rows_per_band=2, bucket_cap=4096,
     )
     return pairs.select("id_a", "id_b", "n_inter", "n_union")
@@ -243,7 +263,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     {2,3,4}-gram character mass, duplicate {5..10}-gram character mass."""
     from .functions.text import repetition_struct_full
 
-    return _docs(spark, sf_dir).select(
+    return spread_scan(_docs(spark, sf_dir), f"{sf_dir}/documents.parquet").select(
         "doc_id", *repetition_struct_full(F.col("text"))
     )
 
@@ -352,7 +372,7 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.resolve import connected_components
 
     pairs = minhash_near_duplicates(
-        _docs_chained(spark, sf_dir), "doc_id", "text",
+        spread_scan(_docs_chained(spark, sf_dir), f"{sf_dir}/documents.parquet"), "doc_id", "text",
         threshold=0.6, perms=8, rows_per_band=2,
     )
     labels = connected_components(pairs, "id_a", "id_b")
@@ -457,9 +477,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact duplicates, found via hyperplane-LSH buckets + cosine verify."""
     from .operators.similarity import cosine_near_duplicates
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding"
-    )
+    emb = _emb_spread(spark, sf_dir).select("vec_id", "embedding")
     planted = emb.unionByName(
         emb.filter(F.col("vec_id") % 20 == 7).select(
             (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding"
@@ -869,7 +887,7 @@ def q_neardup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import token_count_col
     from .operators.resolve import connected_components
 
-    docs = _docs_chained(spark, sf_dir)
+    docs = spread_scan(_docs_chained(spark, sf_dir), f"{sf_dir}/documents.parquet")
     pairs = minhash_near_duplicates(
         docs, "doc_id", "text", threshold=0.6, perms=8, rows_per_band=2
     )
@@ -1036,7 +1054,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.vectors import quantize_int8_col
 
     return (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _emb_spread(spark, sf_dir)
         .select("vec_id", quantize_int8_col(F.col("embedding")).alias("q"))
         .select("vec_id", F.posexplode("q").alias("idx", "q_i"))
         .select(
@@ -1071,7 +1089,7 @@ FROM q
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb_spread(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 41 == 0)
     return brute_force_topk(emb, queries, k=5).select(
         "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
@@ -1311,7 +1329,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .operators.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb_spread(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 41 == 0)
     return ivf_topk(
         emb, queries, k=5, n_centroids=16, n_probe=4, portable_seed=True

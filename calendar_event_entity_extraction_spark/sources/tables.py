@@ -42,6 +42,56 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return read_table(spark, path, TRANSCRIPT_SCHEMA)
 
 
+def spread_scan(
+    df: DataFrame, source_path: str | None = None, max_bytes: int = 256 << 20
+) -> DataFrame:
+    """Input-skew fix (spark_optimization_guide §2.5 "one huge unsplittable
+    file"): a single-row-group parquet file is unsplittable no matter what
+    ``maxPartitionBytes`` says, so a scan of it yields ONE task and every
+    narrow stage above the first exchange — Arrow kernels, explodes, regex
+    projections, interpreted folds — runs on one core of the executor
+    (measured round 6: the MinHash signature kernel spent 2.4 s single-core
+    over a 0.6 MB documents file on a 32-core session). Round-robin
+    repartition to the default parallelism immediately after the read when
+    the source cannot fan out to the session's cores.
+
+    The decision is a pure driver-side ``os.stat`` of ``source_path`` (a
+    file or a parquet directory) — never a ``df.rdd`` probe, which would
+    pay a full physical-planning pass inside the timed query build. Spread
+    only when BOTH (a) the source has fewer files than cores (fewer files
+    than cores can still split byte-wise, but a small single file is the
+    single-row-group case) and (b) total bytes ≤ ``max_bytes`` — a bigger
+    source is either multi-row-group (splits fine on its own) or too big
+    for a casual extra exchange. Production-sized multi-file tables are
+    therefore always a no-op. Round-robin keeps retry-determinism via
+    Spark's sort-before-repartition (SPARK-23207, on by default); row set
+    and values are unchanged, so every oracle comparison is unaffected.
+    Without ``source_path`` the planned partition count decides (pays one
+    planning pass — fine outside hot query builds)."""
+    import glob
+    import os
+
+    if os.environ.get("CEES_SPREAD_DISABLE"):
+        return df
+    sc = df.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    if source_path is not None:
+        if os.path.isdir(source_path):
+            files = glob.glob(os.path.join(source_path, "*.parquet"))
+        else:
+            files = [source_path]
+        try:
+            total = sum(os.path.getsize(f) for f in files)
+        except OSError:
+            return df
+        if len(files) >= dp or total > max_bytes:
+            return df
+        return df.repartition(dp)
+    if df.rdd.getNumPartitions() < dp:
+        return df.repartition(dp)
+    return df
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: T.StructType, header: bool = True
 ) -> DataFrame:
