@@ -261,10 +261,21 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL Gopher §A1.1 repetition family (exact integers + integer
     cross-multiplied keep flags): token/bigram signals, heaviest
     {2,3,4}-gram character mass, duplicate {5..10}-gram character mass."""
-    from .functions.text import repetition_struct_full
+    from .functions.text import (
+        REPETITION_FULL_FIELDS,
+        repetition_struct_full_udf,
+    )
 
-    return spread_scan(_docs(spark, sf_dir), f"{sf_dir}/documents.parquet").select(
-        "doc_id", *repetition_struct_full(F.col("text"))
+    # Arrow kernel (round-6): the Column form plans nine interpreted
+    # sorted-run folds — 27 s of single-stage compute at sf0.1 and a
+    # visibly slow-to-analyze expression tree; the kernel emits the same
+    # exact integers (equality pytest + this row's unchanged DuckDB
+    # oracle) and rides the per-core Python workers over the spread scan.
+    r = spread_scan(_docs(spark, sf_dir), f"{sf_dir}/documents.parquet").select(
+        "doc_id", repetition_struct_full_udf()(F.col("text")).alias("_r")
+    )
+    return r.select(
+        "doc_id", *[F.col(f"_r.{n}").alias(n) for n, _ in REPETITION_FULL_FIELDS]
     )
 
 

@@ -303,6 +303,119 @@ def repetition_struct_full(text: Column) -> list[Column]:
     ]
 
 
+REPETITION_FULL_FIELDS = [
+    ("n_tokens", "long"),
+    ("n_distinct", "long"),
+    ("top_token_count", "long"),
+    ("n_bigrams", "long"),
+    ("n_distinct_bigrams", "long"),
+    ("keep_repetition", "boolean"),
+    ("n_chars_norm", "long"),
+    *[(f"top{n}gram_chars", "long") for n in GOPHER_TOP_NGRAM_PCT],
+    *[(f"dup{n}gram_chars", "long") for n in GOPHER_DUP_NGRAM_PCT],
+    ("keep_repetition_full", "boolean"),
+]
+
+
+def repetition_struct_full_udf():
+    """Arrow-batched :func:`repetition_struct_full` — the production path
+    for the full Gopher §A1.1 signal family. The Column form plans NINE
+    interpreted sorted-run folds (one :func:`run_stats_col` per gram order
+    2..10) plus the token/bigram fold — CodegenFallback per element with
+    the array rebuilt per lambda step (perf lessons #10/#13); measured
+    round 6 at sf0.1 local[32] it is 27 s of single-stage compute (and its
+    expression tree alone costs visible analysis time per plan). This
+    kernel computes the same exact integers with C-level ``Counter`` calls
+    and rides the per-core Python workers.
+
+    Byte-exact with the Column spec (equality pytest in
+    ``tests/test_sampling.py``), same tokenization discipline as
+    :func:`repetition_keep_udf`: ``.strip(" ")`` = ``F.trim`` (ASCII space
+    only), Java's ``\s`` class spelled out, ``str.lower`` (locale caveat
+    as documented there). Gram character mass uses
+    ``sum(len(tok)) + (k-1)`` = ``length(concat_ws(" ", gram))`` exactly.
+    Null text → all-null row, like the null-propagating Column form. The
+    Column formulation stays as the readable spec and the DuckDB oracle's
+    independent mirror."""
+    import re
+    from collections import Counter
+
+    java_ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    schema = ", ".join(f"{n} {t}" for n, t in REPETITION_FULL_FIELDS)
+    top_pct = dict(GOPHER_TOP_NGRAM_PCT)
+    dup_pct = dict(GOPHER_DUP_NGRAM_PCT)
+
+    @F.pandas_udf(schema)
+    def rep(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            if t is None:
+                # the Column spec's _ngram_arr falls to its otherwise()
+                # EMPTY-array branch on null tokens, so the nine gram-mass
+                # fields are 0 — not null — while everything else nulls
+                rows.append(
+                    [
+                        0 if (n.endswith("gram_chars")) else None
+                        for n, _ in REPETITION_FULL_FIELDS
+                    ]
+                )
+                continue
+            toks = java_ws.split(t.strip(" ").lower())
+            n = len(toks)
+            nd = len(set(toks))
+            top = max(Counter(toks).values())
+            if n > 1:
+                n_bg = n - 1
+                nd_bg = len(set(zip(toks, toks[1:])))
+            else:
+                n_bg, nd_bg = 0, 0
+            chars = sum(len(x) for x in toks) + (n - 1)
+            lens = [len(x) for x in toks]
+            keep = (
+                nd * 10 >= n * 3
+                and top * 5 <= n
+                and (n_bg - nd_bg) * 2 <= n_bg
+            )
+            keep_full = keep
+            tops, dups = {}, {}
+            for k in range(2, 11):
+                best_mass, dup_mass = 0, 0
+                if n >= k:
+                    # gram char mass = token chars + (k-1) joiner spaces
+                    cnts: Counter = Counter()
+                    mass = {}
+                    for i in range(n - k + 1):
+                        g = tuple(toks[i : i + k])
+                        cnts[g] += 1
+                        if g not in mass:
+                            mass[g] = sum(lens[i : i + k]) + (k - 1)
+                    for g, cnt in cnts.items():
+                        m = cnt * mass[g]
+                        if m > best_mass:
+                            best_mass = m
+                        if cnt >= 2:
+                            dup_mass += m
+                if k in top_pct:
+                    tops[k] = best_mass
+                    keep_full = keep_full and best_mass * 100 <= chars * top_pct[k]
+                else:
+                    dups[k] = dup_mass
+                    keep_full = keep_full and dup_mass * 100 <= chars * dup_pct[k]
+            rows.append(
+                [
+                    n, nd, top, n_bg, nd_bg, keep, chars,
+                    *[tops[k] for k in top_pct],
+                    *[dups[k] for k in dup_pct],
+                    keep_full,
+                ]
+            )
+        return pd.DataFrame(
+            rows, columns=[n for n, _ in REPETITION_FULL_FIELDS]
+        )
+
+    return rep
+
+
 def lang_id_col(text: Column, en_threshold: float = 0.1) -> Column:
     """Heuristic language ID: English iff stopword token ratio clears the
     threshold. (A real system uses char n-gram profiles; the Spark-side

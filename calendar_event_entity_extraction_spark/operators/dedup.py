@@ -179,6 +179,12 @@ def minhash_sigs_udf(perms: int = 8, n: int = 3):
     import re
 
     java_ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    md5 = hashlib.md5
+    # perm prefixes pre-encoded once per task; the min is taken over raw
+    # 16-byte digests and hex-encoded once per perm — bytewise digest order
+    # IS hex-string order (fixed-width lowercase hex maps each byte to two
+    # chars monotonically), so min(digest).hex() == min(hexdigest) exactly
+    prefixes = [f"{j}|".encode() for j in range(perms)]
 
     @F.pandas_udf("array<string>")
     def sigs(texts: pd.Series) -> pd.Series:
@@ -191,14 +197,12 @@ def minhash_sigs_udf(perms: int = 8, n: int = 3):
             if len(toks) < n:
                 out.append([None] * perms)
                 continue
-            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            encs = {
+                " ".join(toks[i : i + n]).encode()
+                for i in range(len(toks) - n + 1)
+            }
             out.append(
-                [
-                    min(
-                        hashlib.md5(f"{j}|{s}".encode()).hexdigest() for s in sh
-                    )
-                    for j in range(perms)
-                ]
+                [min(md5(pj + e).digest() for e in encs).hex() for pj in prefixes]
             )
         return pd.Series(out)
 
@@ -328,6 +332,13 @@ def capped_band_pairs(
     plus an equi-join of band rows against the per-bucket mins; off by
     default — buckets below the cap already emit every pair.
     """
+    if salt_fanout and bucket_cap is None:
+        raise ValueError(
+            "salt_fanout requires bucket_cap: the salted two-phase form "
+            "exists only to hard-bound the cap's aggregation buffers — "
+            "without a cap it would silently fall back to the unbounded "
+            "single-phase collect_list (round-5 advice)"
+        )
     bands = bands.filter(F.col("band_key").isNotNull())
     if bucket_cap is not None and salt_fanout:
         part = bands.groupBy(

@@ -169,7 +169,9 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
-    bloom_gate: bool = True,
+    bloom_gate: bool | str = "auto",
+    bloom_min_rows: int = 100_000,
+    bloom_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Benchmark decontamination (the GPT-3-style training-set scrub): drop
     every corpus document sharing ANY word ``n``-gram with the benchmark
@@ -206,6 +208,20 @@ def decontaminate(
     oracle mirror and equality pin) — the interpreted slice-per-position
     lambda was the CodegenFallback shape of perf lessons #10/#13."""
     from .dedup import ngrams_udf
+
+    if bloom_gate == "auto":
+        # ONE cheap metadata-backed row count decides (round-6 + round-5
+        # advice): below ``bloom_min_rows`` the distinct benchmark gram set
+        # broadcasts for the semi-join anyway, so the Bloom build is a pure
+        # extra job (a full benchmark gram pass + driver collect) with
+        # nothing to save; above ``bloom_max_rows`` the driver-side collect
+        # of one long per distinct gram risks driver memory (the documented
+        # ~1 GB at 10^8 grams), so fall back to the exact distributed join,
+        # which shuffles more but always survives. The output is
+        # bit-identical on every path — the exact join decides regardless
+        # (pinned by tests/test_splits_entity_link.py).
+        n_bench = benchmark.count()
+        bloom_gate = bloom_min_rows <= n_bench <= bloom_max_rows
 
     grams = ngrams_udf(n, distinct=True)
     cg = corpus.select(

@@ -149,3 +149,54 @@ def test_repetition_kernel_equals_spec_on_corpus(spark):
         ~F.col("spec").eqNullSafe(F.col("kernel"))
     )
     assert diff.count() == 0
+
+
+def test_repetition_full_kernel_equals_column_spec(spark):
+    """repetition_struct_full_udf must emit EXACTLY the Column family's
+    values field-by-field — it is now the production path of the
+    `repetition_stats` driver row while repetition_struct_full remains the
+    spec the DuckDB oracle mirrors. Same adversarial battery as the keep
+    kernel plus the sf0.001 corpus sweep."""
+    from calendar_event_entity_extraction_spark.functions.text import (
+        REPETITION_FULL_FIELDS,
+        repetition_struct_full,
+        repetition_struct_full_udf,
+    )
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x x x x"),
+        (3, "a b a b a b"),
+        (4, "solo"),
+        (5, ""),
+        (6, "   "),
+        (7, "\ta b"),
+        (8, "a b c d e f g h i j k"),
+        (9, "Café cafÉ CAFÉ cafe def ghi jkl mno pqr stu"),
+        (10, None),
+        (11, "a  b\t\tc\n\nd e f g h i j"),
+        (12, "one two three four five six seven eight nine ten " * 3),
+        (13, "lorem ipsum dolor sit amet " * 2 + "unique tail words here"),
+    ]
+    # corpus ids offset so they cannot collide with the synthetic rows
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    df = spark.createDataFrame(rows, "doc_id long, text string").unionByName(
+        corpus
+    )
+    names = [n for n, _ in REPETITION_FULL_FIELDS]
+    spec = df.select(
+        "doc_id", *[c.alias(f"s_{n}") for c, n in zip(
+            repetition_struct_full(F.col("text")), names)]
+    )
+    kern = df.select(
+        "doc_id", repetition_struct_full_udf()(F.col("text")).alias("_r")
+    ).select("doc_id", *[F.col(f"_r.{n}").alias(f"k_{n}") for n in names])
+    j = spec.join(kern, "doc_id")
+    bad = None
+    for n in names:
+        m = ~F.col(f"s_{n}").eqNullSafe(F.col(f"k_{n}"))
+        bad = m if bad is None else (bad | m)
+    diffs = j.filter(bad).collect()
+    assert diffs == [], diffs[:3]
