@@ -108,11 +108,17 @@ def run_pipeline(
             .distinct()
             .withColumn("node_id", F.xxhash64("kind", "name"))
         )
-        ev = edges.select(
+        # event nodes come from the EVENTS stage, where (event_id, conv_id)
+        # is already one row per event by construction (canonicalize keeps
+        # exactly one row per event_id) — value-identical to the former
+        # distinct over the edge table (every detected event carries
+        # non-null date+time triples, so no event is edge-less), minus a
+        # full shuffle of the (much larger) edge table (round-6)
+        ev = events.select(
             F.col("event_id").alias("node_id"),
             F.col("conv_id").alias("name"),
             F.lit("event").alias("kind"),
-        ).distinct()
+        )
         return ent.select("node_id", "name", "kind").unionByName(
             ev.select("node_id", "name", "kind")
         )

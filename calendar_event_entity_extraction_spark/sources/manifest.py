@@ -33,6 +33,41 @@ def partition_metrics(df: DataFrame) -> list[dict]:
     return [{"partition": r["pid"], "rows": r["rows"]} for r in rows]
 
 
+# footer-walk cutoff: below this many files the driver reads parquet
+# footers directly (~1 ms each); above it the distributed aggregation wins
+_FOOTER_WALK_MAX_FILES = 256
+
+
+def written_partition_metrics(spark: SparkSession, path: str) -> list[dict]:
+    """Per-partition row counts of a JUST-WRITTEN stage (round-6): for the
+    common small-output case, read the parquet FOOTERS driver-side (row
+    counts are manifest metadata — no Spark job, no data scan) with one
+    entry per file, which is exactly the read-partition granularity at
+    these sizes. Falls back to the executor-side
+    ``spark_partition_id``-grouped aggregation when the stage wrote more
+    than ``_FOOTER_WALK_MAX_FILES`` files — at cluster scale a driver loop
+    over every file is the anti-pattern the original design avoided, and
+    the distributed count reads only footer-backed metadata columns
+    anyway. Contract unchanged: ≥1 entries whose rows sum to the stage
+    total (pinned by tests/test_pipeline_resume.py)."""
+    import glob
+
+    files = sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    if files and len(files) <= _FOOTER_WALK_MAX_FILES:
+        try:
+            import pyarrow.parquet as pq
+
+            return [
+                {"partition": i, "rows": pq.ParquetFile(f).metadata.num_rows}
+                for i, f in enumerate(files)
+            ]
+        except Exception:
+            pass
+    return partition_metrics(spark.read.parquet(path))
+
+
 def write_stage(
     df: DataFrame,
     out_dir: str,
@@ -43,6 +78,16 @@ def write_stage(
 ) -> dict:
     """Write a stage output (Parquet, optionally partitioned) + manifest."""
     path = os.path.join(out_dir, stage)
+    if partition_by:
+        # hash-distribute by the partition columns before a partitioned
+        # write (guide §6, the write.distribution-mode=hash analog): an
+        # unshuffled write emits up to tasks × values files — measured 96
+        # tiny files for the 8-pred edges stage at sf0.1 — while one
+        # exchange makes it one file per partition value. The known trade
+        # (a single giant partition value serializes into one task) is the
+        # standard one; callers with that shape pass partition_by=None and
+        # lay out the data themselves.
+        df = df.repartition(*[F.col(c) for c in partition_by])
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -50,9 +95,8 @@ def write_stage(
 
     spark = df.sparkSession
     written = spark.read.parquet(path)
-    # ONE post-write job: total rows is the sum of the per-partition counts
-    # (a second full count() job would re-scan the stage for nothing)
-    parts = partition_metrics(written)
+    # footer-backed metrics: no post-write Spark job for small outputs
+    parts = written_partition_metrics(spark, path)
     manifest = {
         "stage": stage,
         "input_fingerprint": input_fingerprint,
@@ -137,7 +181,11 @@ def write_stage_partitioned_resumable(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        pending.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        # same §6 write-distribution as write_stage: one exchange, one file
+        # per pending partition value instead of tasks × values tiny files
+        pending.repartition(F.col(partition_col)).write.mode(
+            "overwrite"
+        ).partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -147,7 +195,7 @@ def write_stage_partitioned_resumable(
     )
 
     written = spark.read.parquet(path)
-    parts = partition_metrics(written)
+    parts = written_partition_metrics(spark, path)
     m.update(
         {
             "complete": True,
