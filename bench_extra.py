@@ -460,12 +460,97 @@ def main():
         section_ann(spark)
     elif section == "misc":
         section_misc(spark)
+    elif section == "curation":
+        section_curation(spark)
     elif section.startswith("headline:"):
         section_headline(spark, section.split(":", 1)[1].split(","))
     else:
         raise SystemExit(f"unknown section {section}")
     spark.stop()
 
+
+
+def section_curation(spark):
+    from pyspark.sql import functions as F
+
+    from calendar_event_entity_extraction_spark.docs_queries import (
+        MIXTURE_SEED,
+        MIXTURE_WEIGHTS,
+        _docs_chained_lang,
+    )
+    from calendar_event_entity_extraction_spark.functions.text import (
+        punct_count_col,
+        repetition_keep_udf,
+        token_count_col,
+    )
+    from calendar_event_entity_extraction_spark.operators.dedup import (
+        capped_band_pairs,
+        dedup_first_wins,
+        minhash_bands,
+        minhash_near_duplicates,
+    )
+    from calendar_event_entity_extraction_spark.operators.resolve import (
+        connected_components,
+    )
+
+    def docs(i):
+        return _fresh(_docs_chained_lang(spark, SF_DIR), i)
+
+    def gated(i):
+        d = docs(i)
+        n_tok = token_count_col(F.col("text"))
+        n_punct = punct_count_col(F.col("text"))
+        ok = (
+            (n_tok >= 10)
+            & (n_tok <= 100_000)
+            & (n_punct * 100 <= F.length("text") * 10)
+        )
+        return d.filter(ok & repetition_keep_udf()(F.col("text")))
+
+    def deduped(i):
+        return dedup_first_wins(gated(i), ["text"], "doc_id")
+
+    probe(spark, "cur: gates", gated)
+    probe(spark, "cur: gates+dedup", deduped)
+    probe(
+        spark,
+        "cur: +bands",
+        lambda i: minhash_bands(deduped(i), "doc_id", "text", 8, 2),
+    )
+    probe(
+        spark,
+        "cur: +capped pairs",
+        lambda i: capped_band_pairs(
+            minhash_bands(deduped(i), "doc_id", "text", 8, 2)
+        ),
+    )
+    probe(
+        spark,
+        "cur: +verified pairs",
+        lambda i: minhash_near_duplicates(
+            deduped(i), "doc_id", "text", threshold=0.6, perms=8, rows_per_band=2
+        ),
+    )
+    probe(
+        spark,
+        "cur: +CC labels",
+        lambda i: connected_components(
+            minhash_near_duplicates(
+                deduped(i), "doc_id", "text",
+                threshold=0.6, perms=8, rows_per_band=2,
+            ),
+            "id_a",
+            "id_b",
+        ),
+    )
+    from calendar_event_entity_extraction_spark.plans.curate import curate_full
+
+    probe(
+        spark,
+        "cur: full composite",
+        lambda i: curate_full(docs(i), MIXTURE_WEIGHTS, seed=MIXTURE_SEED),
+        sink="count",
+    )
 
 if __name__ == "__main__":
     main()

@@ -673,31 +673,35 @@ def scrub_duplicate_spans(
     """Remove the duplicated spans found by :func:`duplicate_spans` from
     each document's text (the ExactSubstr *action*): tokens whose 0-based
     position falls inside any of the doc's spans are dropped; the
-    remaining tokens re-join with single spaces. Docs with no spans pass
-    through untouched (left join). One broadcastable-or-shuffled join on
-    id + a narrow codegen rebuild: the kept-token filter works on the
-    flat span-boundary arrays via a position bitmap built from
-    ``sequence``+``arrays_zip``-free logic — spans per doc are few, so the
-    per-token containment test is a bounded ``exists`` over the span
-    array."""
+    remaining tokens re-join with single spaces, ORIGINAL CASE PRESERVED —
+    span positions index the whitespace token stream, which is identical
+    for the cased and lowercased text, so the rebuild tokenizes WITHOUT
+    lowering (round-5 advice: the previous lower()d rebuild destroyed case
+    corpus-wide, which is lossy for training data; ExactSubstr removes
+    only the duplicated tokens). Docs with NO spans keep their text byte
+    -for-byte untouched (left join + null-span passthrough); scrubbed docs
+    retain a residual whitespace normalization (runs of whitespace become
+    one space — an unavoidable artifact of the token rebuild).
+
+    One broadcastable-or-shuffled join on id + a narrow codegen rebuild;
+    spans per doc are few, so the per-token containment test is a bounded
+    ``exists`` over the span array."""
     sp = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     joined = corpus.join(sp, id_col, "left")
-    spans_arr = F.coalesce(
-        F.col("_spans"),
-        F.array().cast("array<struct<span_start:long,span_end:long>>"),
-    )
     kept = F.filter(
         toks,
         lambda t, i: ~F.exists(
-            spans_arr,
+            F.col("_spans"),
             lambda s: (i.cast("long") >= s["span_start"])
             & (i.cast("long") <= s["span_end"]),
         ),
     )
     return joined.select(
         *[c for c in corpus.columns if c != text_col],
-        F.concat_ws(" ", kept).alias(text_col),
+        F.when(F.col("_spans").isNull(), F.col(text_col))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias(text_col),
     )

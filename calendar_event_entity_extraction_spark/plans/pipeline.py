@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.canonicalize import canonicalize_events
-from ..operators.entity_link import build_entity_pools, link_entities
+from ..operators.entity_link import link_entities
 from ..operators.extract import extract_events
 from ..operators.triples import SLIM_EVENT_COLS, events_to_triples
 from ..sources import manifest as mf
@@ -71,16 +71,30 @@ def run_pipeline(
     )
     triples = stage("triples", lambda: events_to_triples(events))
 
-    pools = stage(
-        "entity_pools",
-        lambda: build_entity_pools(triples, "attendee", top_k)
-        .withColumn("pred", F.lit("attendee"))
-        .unionByName(
-            build_entity_pools(triples, "location", top_k).withColumn(
-                "pred", F.lit("location")
-            )
-        ),
-    )
+    def build_pools():
+        # ONE scan for both pools (round-6): the former per-pred
+        # build_entity_pools union ran two full aggregate jobs over the
+        # triples stage. One (pred, name) count aggregate (map-side partial
+        # combine absorbs hot names like "Zoom" before the exchange) + a
+        # per-pred top-k window over the COUNTS (two partitions of a few
+        # hundred distinct names each — bounded by vocabulary, never by
+        # corpus) yields the identical rows: same counts, same
+        # (desc cnt, asc name) tie-break, same top_k cut.
+        from pyspark.sql import Window
+
+        counts = (
+            triples.filter(F.col("pred").isin("attendee", "location"))
+            .groupBy("pred", F.col("obj").alias("name"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("pred").orderBy(F.desc("cnt"), F.asc("name"))
+        return (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top_k)
+            .select("name", "cnt", "pred")
+        )
+
+    pools = stage("entity_pools", build_pools)
 
     def build_edges():
         att_pool = pools.filter(F.col("pred") == "attendee").select("name", "cnt")

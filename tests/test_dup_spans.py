@@ -162,7 +162,9 @@ def test_scrub_passes_span_free_docs_through(spark):
         r["doc_id"]: r["text"]
         for r in scrub_duplicate_spans(df, spans).collect()
     }
-    # scrub tokenizes via lower(trim()) — doc 3 has no spans, text passes
-    # through the same normalization (lowercased join)
-    assert out[3] == "no duplicates at all in this one"
+    # round-6 contract fix: a doc with NO spans keeps its text
+    # byte-for-byte (case and spacing intact); scrubbed docs keep the
+    # ORIGINAL CASE of their surviving tokens (span positions index the
+    # whitespace token stream, which is case-independent)
+    assert out[3] == "No Duplicates At All In This One"
     assert out[1] == "extra" and out[2] == "other"
