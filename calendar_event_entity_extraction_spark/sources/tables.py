@@ -43,7 +43,7 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
 
 
 def spread_scan(
-    df: DataFrame, source_path: str | None = None, max_bytes: int = 256 << 20
+    df: DataFrame, source_path: str | None = None, max_bytes: int = 64 << 20
 ) -> DataFrame:
     """Input-skew fix (spark_optimization_guide §2.5 "one huge unsplittable
     file"): a single-row-group parquet file is unsplittable no matter what
@@ -84,7 +84,13 @@ def spread_scan(
             total = sum(os.path.getsize(f) for f in files)
         except OSError:
             return df
-        if len(files) >= dp or total > max_bytes:
+        # spread only SEVERELY under-parallel sources: at least 4 cores
+        # per existing scan split. An sf1-shaped 16-file/32-core docs scan
+        # measured WORSE with the extra exchange (dup_spans 8.1 -> 17.5 s,
+        # minhash 4.5 -> 7.0 s), while the 4-file embeddings scan kept its
+        # order-of-magnitude win (brute ANN 83.7 -> 12.0 s at sf1) — the
+        # crossover is parallelism deficit, not bytes alone.
+        if len(files) * 4 > dp or total > max_bytes:
             return df
         return df.repartition(dp)
     if df.rdd.getNumPartitions() < dp:
