@@ -110,6 +110,19 @@ def curate_full(
     # gates run BELOW the Python eval and cut its input first
     gated = docs.filter(quality_ok & repetition_keep_udf()(F.col("text")))
     deduped = dedup_first_wins(gated, ["text"], "doc_id")
+    # materialize the deduped corpus ONCE (round-6): it has TWO consumers —
+    # the near-dup pair lineage and the final kept anti-join — so without a
+    # checkpoint the quality gates + dedup window execute twice end to end
+    # (measured 5.0 -> 3.7 s at sf0.1, n_kept identical). Real curation
+    # pipelines materialize the post-dedup corpus for exactly this reason;
+    # the trade is one corpus-sized write. Durable when ``checkpoint_dir``
+    # is given (cluster mode — survives executor loss, same policy as the
+    # CC rounds), executor-local otherwise.
+    if checkpoint_dir is not None:
+        docs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        deduped = deduped.checkpoint()
+    else:
+        deduped = deduped.localCheckpoint()
     pairs = minhash_near_duplicates(
         deduped,
         "doc_id",
