@@ -48,6 +48,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parallelize.
 
 
+def _materialized(df: DataFrame) -> DataFrame:
+    """localCheckpoint a DERIVED corpus lineage that the downstream
+    operator consumes twice (round-6): ``minhash_near_duplicates`` reads
+    its input for the band/signature pass AND the shingle-verify semi-join,
+    so a computed input (the planted/chained unions + spread exchange here)
+    would be recomputed end to end per consumer — measured 2.2 → 1.7 s on
+    the near-dup row at sf0.1. For a plain parquet-backed corpus the second
+    read is a cheap re-scan and this is unnecessary; it pays exactly when
+    the input is a derived lineage, which is what these rows feed."""
+    return df.localCheckpoint()
+
+
 def _emb_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread_scan(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
@@ -193,7 +205,12 @@ FROM t
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_duplicates(
-        spread_scan(_docs_planted(spark, sf_dir), f"{sf_dir}/documents.parquet"), "doc_id", "text",
+        _materialized(
+            spread_scan(
+                _docs_planted(spark, sf_dir), f"{sf_dir}/documents.parquet"
+            )
+        ),
+        "doc_id", "text",
         threshold=0.6, perms=8, rows_per_band=2,
     )
     # exact integer intersect/union sizes instead of a float ratio
@@ -231,7 +248,12 @@ def q_minhash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     — this pins the capped window+join machinery, not just its recall
     trade-off (which `test_bucket_cap_bounds_hot_bucket` covers)."""
     pairs = minhash_near_duplicates(
-        spread_scan(_docs_planted(spark, sf_dir), f"{sf_dir}/documents.parquet"), "doc_id", "text",
+        _materialized(
+            spread_scan(
+                _docs_planted(spark, sf_dir), f"{sf_dir}/documents.parquet"
+            )
+        ),
+        "doc_id", "text",
         threshold=0.6, perms=8, rows_per_band=2, bucket_cap=4096,
     )
     return pairs.select("id_a", "id_b", "n_inter", "n_union")
@@ -393,7 +415,12 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.resolve import connected_components
 
     pairs = minhash_near_duplicates(
-        spread_scan(_docs_chained(spark, sf_dir), f"{sf_dir}/documents.parquet"), "doc_id", "text",
+        _materialized(
+            spread_scan(
+                _docs_chained(spark, sf_dir), f"{sf_dir}/documents.parquet"
+            )
+        ),
+        "doc_id", "text",
         threshold=0.6, perms=8, rows_per_band=2,
     )
     labels = connected_components(pairs, "id_a", "id_b")
@@ -908,7 +935,9 @@ def q_neardup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import token_count_col
     from .operators.resolve import connected_components
 
-    docs = spread_scan(_docs_chained(spark, sf_dir), f"{sf_dir}/documents.parquet")
+    docs = _materialized(
+        spread_scan(_docs_chained(spark, sf_dir), f"{sf_dir}/documents.parquet")
+    )
     pairs = minhash_near_duplicates(
         docs, "doc_id", "text", threshold=0.6, perms=8, rows_per_band=2
     )
