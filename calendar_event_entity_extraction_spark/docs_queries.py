@@ -145,6 +145,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         k=10,
         hash_grams=True,
+        materialize_grams=True,
     )
 
 
@@ -561,7 +562,10 @@ FROM documents
 
 
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    planted = assign_split(_docs_planted(spark, sf_dir), "doc_id")
+    # derived union + split assignment consumed twice by the min-rank
+    # aggregate and the join-back — materialize once (round-6: 0.77 →
+    # 0.57 s at sf0.1)
+    planted = _materialized(assign_split(_docs_planted(spark, sf_dir), "doc_id"))
     return drop_split_leakage(planted).select("doc_id", "split")
 
 
@@ -1065,7 +1069,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     same n-gram semi/anti join."""
     from .operators.splits import decontaminate
 
-    corpus = _docs_planted(spark, sf_dir)
+    # corpus is a derived union consumed twice by decontaminate (gram
+    # explode + final anti-join) — materialize once (round-6, same
+    # rationale as _materialized: 1.43 → 1.17 s at sf0.1)
+    corpus = _materialized(_docs_planted(spark, sf_dir))
     benchmark = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 3).select(
         "doc_id", "text"
     )
